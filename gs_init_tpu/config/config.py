@@ -1,0 +1,351 @@
+"""Configuration surface for the TPU-native 3DGS + monocular-depth-init framework.
+
+Field names deliberately mirror the reference config surface
+(/root/reference/gs_init_compare/config.py:20-221) so that the evaluator
+sweep syntax and nerfbaselines ``--set`` overrides carry over, but the
+dataclasses here are organized for a functional JAX engine: everything that
+enters a jitted train step is a plain static hyperparameter; capacity-style
+fields (``max_gaussians``, ``pair_capacity``) exist because XLA requires
+static shapes and have no reference counterpart.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Literal, Optional, Tuple
+
+
+# --------------------------------------------------------------------------
+# Densification strategies (reference: gsplat DefaultStrategy / MCMCStrategy,
+# see SURVEY.md §2.4). Ours operate on fixed-capacity buffers + alive masks.
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class DefaultStrategyConfig:
+    """Grow/split/prune densification from screen-space gradient statistics."""
+
+    name: Literal["default"] = "default"
+    # Gradient threshold for duplication/split (mean2d grad, image-size scaled).
+    grow_grad2d: float = 0.0002
+    # Scale threshold separating duplicate (small) from split (large).
+    grow_scale3d: float = 0.01
+    grow_scale2d: float = 0.05
+    prune_opa: float = 0.005
+    prune_scale3d: float = 0.1
+    prune_scale2d: float = 0.15
+    refine_scale2d_stop_iter: int = 0
+    refine_start_iter: int = 500
+    refine_stop_iter: int = 15_000
+    reset_every: int = 3000
+    refine_every: int = 100
+    pause_refine_after_reset: int = 0
+    absgrad: bool = False
+    revised_opacity: bool = False
+    verbose: bool = False
+
+
+@dataclass
+class MCMCStrategyConfig:
+    """MCMC relocation densification (stochastic gaussian langevin moves)."""
+
+    name: Literal["mcmc"] = "mcmc"
+    cap_max: int = 1_000_000
+    noise_lr: float = 5e5
+    refine_start_iter: int = 500
+    refine_stop_iter: int = 25_000
+    refine_every: int = 100
+    min_opacity: float = 0.005
+    verbose: bool = False
+
+
+# --------------------------------------------------------------------------
+# Depth alignment (reference: depth_alignment/config.py)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class RansacConfig:
+    inlier_threshold: float = 0.01
+    max_iterations: int = 2500
+    confidence: float = 0.999
+    sample_size: int = 4
+    # TPU addition: hypotheses are evaluated as one vmapped batch instead of a
+    # Python loop (reference loops in
+    # depth_alignment/alignment/ransacs.py:100-189); this sets the batch.
+    hypothesis_batch: int = 256
+
+
+@dataclass
+class InterpolatedAlignmentConfig:
+    prealign: Literal["ransac", "msac", "lstsqrs"] = "ransac"
+    method: Literal["rbf", "delaunay"] = "rbf"
+    rbf_grid_width: int = 256
+    lof_neighbors: int = 20
+    lof_threshold: float = 1.5
+    knn_median_neighbors: int = 8
+    knn_median_threshold: float = 2.0
+
+
+@dataclass
+class SegmentationConfig:
+    method: Optional[Literal["slic", "sam"]] = None
+    slic_n_segments: int = 40
+    slic_compactness: float = 0.01
+    # Region merging thresholds (reference region_merging.py / config.py:97-98).
+    merge_gradient_threshold: float = 5e-4
+    merge_min_sfm_points: int = 5
+    region_margin: float = 0.0
+
+
+@dataclass
+class DepthAlignmentConfig:
+    method: Literal["lstsqrs", "ransac", "msac", "interpolate"] = "ransac"
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    interp: InterpolatedAlignmentConfig = field(
+        default_factory=InterpolatedAlignmentConfig
+    )
+    segmentation: SegmentationConfig = field(default_factory=SegmentationConfig)
+    # Minimum fraction of an image's SfM points that must reproject validly;
+    # below this the image is skipped (reference points_from_depth.py:124-129).
+    min_valid_sfm_fraction: float = 0.25
+
+
+# --------------------------------------------------------------------------
+# Depth subsampling (reference: depth_subsampling/config.py)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class AdaptiveSubsamplingConfig:
+    min_stride: int = 5
+    max_stride: int = 15
+
+
+@dataclass
+class SfmPointsMaskConfig:
+    enabled: bool = False
+    patches_per_image_side: int = 20
+    max_sfm_points_per_patch: int = 15
+
+
+@dataclass
+class DepthSubsamplingConfig:
+    method: Literal["static", "adaptive"] = "static"
+    # Static stride: keep every k-th row and column (reference config.py:44).
+    factor: int = 10
+    adaptive: AdaptiveSubsamplingConfig = field(
+        default_factory=AdaptiveSubsamplingConfig
+    )
+    sfm_mask: SfmPointsMaskConfig = field(default_factory=SfmPointsMaskConfig)
+
+
+# --------------------------------------------------------------------------
+# Point-cloud postprocess (reference: point_cloud_postprocess/config.py)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class PointCloudPostprocessConfig:
+    lof_outlier_removal: bool = False
+    lof_neighbors: int = 40
+    merge_subsample: bool = False
+    # KD-split merge parameters (reference subsampling_params.py:5-17).
+    merge_max_aspect_ratio: float = 1.1
+    merge_extent_multiplier: float = 1.0
+    # Device-side alternative to the exact C++ KD-split merge: morton-sorted
+    # voxel merge (TPU addition; C++ exact path also provided in native/).
+    merge_impl: Literal["native", "voxel"] = "native"
+
+
+# --------------------------------------------------------------------------
+# Monocular depth init (reference: config.py:20-66, namespace ``mdi.*``)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class MonocularDepthInitConfig:
+    predictor: Literal[
+        "stub",
+        "depth_anything_v2",
+        "metric3d",
+        "moge",
+        "unidepth",
+        "depth_pro",
+    ] = "depth_anything_v2"
+    # Predictor backbone, e.g. vits/vitb/vitl for DA-V2, small/large for M3D.
+    backbone: str = "vits"
+    # Metric vs relative depth output for DA-V2.
+    metric: bool = False
+    metric_variant: Literal["indoor", "outdoor"] = "indoor"
+    alignment: DepthAlignmentConfig = field(default_factory=DepthAlignmentConfig)
+    subsampling: DepthSubsamplingConfig = field(
+        default_factory=DepthSubsamplingConfig
+    )
+    postprocess: PointCloudPostprocessConfig = field(
+        default_factory=PointCloudPostprocessConfig
+    )
+    # Depth-gradient mask: drop pixels with steep depth gradient (edges).
+    depth_gradient_mask: bool = False
+    depth_gradient_threshold: float = 0.1
+    # Union SfM points into the init cloud (reference mono..init.py:179-181).
+    include_sfm_points: bool = False
+    # Per-image gaussian noise fraction of scene scale (fault injection).
+    noise_frac: float = 0.0
+    # Export the merged init cloud as PLY and exit (reference pts_only).
+    pts_only: bool = False
+    export_ply: bool = False
+    # On-disk depth cache directory (resumable memo of the expensive stage).
+    cache_dir: str = "__mono_depth_cache__"
+    use_cache: bool = True
+    # Clamp init scales to a kNN-distance quantile.
+    scale_clamp_quantile: float = 0.0
+    # TPU addition: images are depth-predicted in pjit-batched groups instead
+    # of the reference's serial per-image loop (monocular_depth_init.py:120).
+    predict_batch_size: int = 8
+
+
+# --------------------------------------------------------------------------
+# Top-level config (reference: config.py:70-221)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Config:
+    # Data
+    data_dir: str = "data/360_v2/garden"
+    data_factor: int = 4
+    result_dir: str = "results/garden"
+    test_every: int = 8
+    patch_size: Optional[int] = None
+    global_scale: float = 1.0
+    normalize_world_space: bool = True
+    camera_model: Literal["pinhole", "ortho", "fisheye"] = "pinhole"
+
+    # Init
+    init_type: Literal["sfm", "random", "monocular_depth"] = "sfm"
+    init_num_pts: int = 100_000
+    init_extent: float = 3.0
+    init_opa: float = 0.1
+    init_scale: float = 1.0
+    mdi: MonocularDepthInitConfig = field(default_factory=MonocularDepthInitConfig)
+
+    # Training schedule
+    max_steps: int = 30_000
+    eval_steps: List[int] = field(default_factory=lambda: [7_000, 30_000])
+    save_steps: List[int] = field(default_factory=lambda: [7_000, 30_000])
+    save_ply: bool = False
+    ply_steps: List[int] = field(default_factory=lambda: [7_000, 30_000])
+    steps_scaler: float = 1.0
+
+    batch_size: int = 1
+    # Loss
+    ssim_lambda: float = 0.2
+    opacity_reg: float = 0.0
+    scale_reg: float = 0.0
+    depth_loss: bool = False
+    depth_lambda: float = 1e-2
+    random_bkgd: bool = False
+
+    # Model
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000
+    max_gaussians: int = 1_000_000  # static capacity buffer (TPU addition)
+    near_plane: float = 0.01
+    far_plane: float = 1e10
+    antialiased: bool = False
+    packed: bool = False
+    sparse_grad: bool = False
+
+    # Rasterizer capacities (TPU additions; XLA needs static shapes)
+    tile_size: int = 16
+    pair_capacity: int = 4_194_304
+    chunk_size: int = 128
+    # Use the Pallas tile kernel ("pallas") or the pure-XLA reference
+    # compositor ("xla", used on CPU/tests and tiny scenes).
+    rasterizer_impl: Literal["auto", "pallas", "xla"] = "auto"
+
+    # Learning rates (reference runner.py:128-137)
+    means_lr: float = 1.6e-4
+    scales_lr: float = 5e-3
+    opacities_lr: float = 5e-2
+    quats_lr: float = 1e-3
+    sh0_lr: float = 2.5e-3
+    shN_lr: float = 2.5e-3 / 20
+
+    # Pose optimization
+    pose_opt: bool = False
+    pose_opt_lr: float = 1e-5
+    pose_opt_reg: float = 1e-6
+    pose_noise: float = 0.0
+
+    # Appearance optimization
+    app_opt: bool = False
+    app_embed_dim: int = 16
+    app_opt_lr: float = 1e-3
+    app_opt_reg: float = 1e-6
+
+    # Bilateral grid
+    use_bilateral_grid: bool = False
+    bilateral_grid_shape: Tuple[int, int, int] = (16, 16, 8)
+    tv_lambda: float = 10.0
+
+    # Strategy
+    strategy: object = field(default_factory=DefaultStrategyConfig)
+
+    # Eval / render
+    lpips_net: Literal["alex", "vgg"] = "alex"
+    render_traj_path: Literal["interp", "ellipse_z", "ellipse_y", "spiral"] = (
+        "interp"
+    )
+    compression: Optional[Literal["png"]] = None
+
+    # Logging / infra
+    disable_viewer: bool = True
+    port: int = 8080
+    tb_every: int = 100
+    tb_save_image: bool = False
+    ckpt: Optional[List[str]] = None
+    seed: int = 42
+    # Multi-device: data-parallel camera batch over this many devices; 1 means
+    # single-chip. Gaussians are additionally sharded when gaussian_shards>1.
+    data_parallel: int = 1
+    gaussian_shards: int = 1
+
+    def adjust_steps(self, factor: Optional[float] = None) -> None:
+        """Scale every step-schedule by ``steps_scaler``.
+
+        Mirrors reference Config.adjust_steps (config.py:204-221) including
+        strategy refine schedules.
+        """
+        f = self.steps_scaler if factor is None else factor
+        if f == 1.0:
+            return
+        self.eval_steps = [int(s * f) for s in self.eval_steps]
+        self.save_steps = [int(s * f) for s in self.save_steps]
+        self.ply_steps = [int(s * f) for s in self.ply_steps]
+        self.max_steps = int(self.max_steps * f)
+        self.sh_degree_interval = int(self.sh_degree_interval * f)
+        s = self.strategy
+        if isinstance(s, DefaultStrategyConfig):
+            s.refine_start_iter = int(s.refine_start_iter * f)
+            s.refine_stop_iter = int(s.refine_stop_iter * f)
+            s.reset_every = int(s.reset_every * f)
+            s.refine_every = int(s.refine_every * f)
+        elif isinstance(s, MCMCStrategyConfig):
+            s.refine_start_iter = int(s.refine_start_iter * f)
+            s.refine_stop_iter = int(s.refine_stop_iter * f)
+            s.refine_every = int(s.refine_every * f)
+        else:
+            raise ValueError(f"unknown strategy {s!r}")
+
+
+def to_dict(cfg) -> dict:
+    """Recursively convert a config dataclass to a plain dict (for cfg.yml)."""
+    if dataclasses.is_dataclass(cfg) and not isinstance(cfg, type):
+        return {
+            f.name: to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)
+        }
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(v) for v in cfg]
+    return cfg
