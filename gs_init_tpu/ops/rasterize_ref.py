@@ -37,8 +37,16 @@ def alpha_at(
     opacities: jnp.ndarray,  # [N]
     valid: jnp.ndarray,  # [N] bool
     pix: jnp.ndarray,  # [P, 2]
+    radii: jnp.ndarray | None = None,  # [N] for tile-consistency filtering
+    tile_size: int | None = None,
 ) -> jnp.ndarray:
-    """Per-gaussian per-pixel alpha, [N, P]. Shared semantics with the kernel."""
+    """Per-gaussian per-pixel alpha, [N, P]. Shared semantics with the kernel.
+
+    When ``tile_size`` is given, a gaussian only contributes to pixels whose
+    tile intersects its 3-sigma bbox — the same approximation the tile
+    rasterizer (and gsplat's CUDA binning) makes, so the two paths agree
+    bitwise in coverage.
+    """
     dx = pix[None, :, 0] - means2d[:, None, 0]
     dy = pix[None, :, 1] - means2d[:, None, 1]
     a, b, c = conics[:, 0:1], conics[:, 1:2], conics[:, 2:3]
@@ -46,6 +54,16 @@ def alpha_at(
     alpha = opacities[:, None] * jnp.exp(-sigma)
     alpha = jnp.minimum(alpha, ALPHA_MAX)
     ok = valid[:, None] & (sigma >= 0.0) & (alpha >= ALPHA_MIN)
+    if tile_size is not None:
+        ts = float(tile_size)
+        r = radii.astype(jnp.float32)[:, None]
+        ptx = jnp.floor(pix[None, :, 0] / ts)
+        pty = jnp.floor(pix[None, :, 1] / ts)
+        gx0 = jnp.floor((means2d[:, None, 0] - r) / ts)
+        gx1 = jnp.floor((means2d[:, None, 0] + r) / ts)
+        gy0 = jnp.floor((means2d[:, None, 1] - r) / ts)
+        gy1 = jnp.floor((means2d[:, None, 1] + r) / ts)
+        ok = ok & (ptx >= gx0) & (ptx <= gx1) & (pty >= gy0) & (pty <= gy1)
     return jnp.where(ok, alpha, 0.0)
 
 
@@ -72,7 +90,7 @@ def composite_chunk(
     return color, depth, acc, t_out
 
 
-@partial(jax.jit, static_argnames=("width", "height", "pixel_chunk"))
+@partial(jax.jit, static_argnames=("width", "height", "pixel_chunk", "tile_size"))
 def rasterize_reference(
     proj: Projected,
     colors: jnp.ndarray,  # [C, N, 3]
@@ -80,6 +98,7 @@ def rasterize_reference(
     height: int,
     backgrounds: jnp.ndarray | None = None,  # [C, 3]
     pixel_chunk: int = 4096,
+    tile_size: int | None = None,
 ):
     """Render [C, H, W, 3] color, [C, H, W] alpha and expected depth."""
     num_cams = proj.means2d.shape[0]
@@ -95,10 +114,12 @@ def rasterize_reference(
         order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
         means2d, conics = means2d[order], conics[order]
         opac, depths = opac[order], depths[order]
-        valid, cols = valid[order], cols[order]
+        valid, cols, radii = valid[order], cols[order], radii[order]
 
         def body(pix):
-            alpha = alpha_at(means2d, conics, opac, valid, pix)
+            alpha = alpha_at(
+                means2d, conics, opac, valid, pix, radii, tile_size
+            )
             t0 = jnp.ones(pix.shape[0], jnp.float32)
             color, depth, acc, _ = composite_chunk(alpha, cols, depths, t0)
             return color, depth, acc

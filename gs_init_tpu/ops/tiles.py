@@ -1,0 +1,195 @@
+"""Tile binning for the production rasterizer — pure XLA, static shapes.
+
+TPU-native replacement for gsplat's ``isect_tiles``/``isect_offset_encode``
+CUDA kernels. Design (no atomics, no dynamic allocation):
+
+1. per (camera, gaussian): tile span from screen radius
+2. exclusive prefix-sum of span sizes -> pair offsets
+3. expand to a fixed-capacity pair list with ``jnp.repeat(...,
+   total_repeat_length=PAIR_CAP)`` (overflow truncates; tracked in ``info``)
+4. lexicographic ``lax.sort`` by (tile_id, depth) with the flattened
+   (camera*gaussian) index as payload
+5. per-tile ranges via ``searchsorted``
+
+The pair list is then gathered into a packed [PAIR_CAP, 16] f32 array that
+the Pallas compositor DMAs chunk-by-chunk (ops/rasterize.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Column layout of the packed per-pair array consumed by the Pallas kernel.
+PACK_MX, PACK_MY = 0, 1
+PACK_CA, PACK_CB, PACK_CC = 2, 3, 4
+PACK_OPA = 5
+PACK_R, PACK_G, PACK_B = 6, 7, 8
+PACK_DEPTH = 9
+PACK_COLS = 16  # padded for aligned DMA
+
+
+class TileBinning(NamedTuple):
+    """Pair list in *chunk-aligned* layout.
+
+    Every tile's pair range [tile_starts[t], tile_starts[t+1]) starts at a
+    multiple of the compositor chunk (and is chunk-sized-padded), so the
+    Pallas kernel's DMA slices are lane-aligned — Mosaic requires 128-aligned
+    offsets when slicing the minor dimension of an HBM buffer. Padding slots
+    inside a range have ``pair_valid=False`` and zeroed attributes.
+    """
+
+    pair_gid: jnp.ndarray  # [CAP_PAD] int32 flattened (cam*N + gaussian) id
+    pair_valid: jnp.ndarray  # [CAP_PAD] bool
+    tile_starts: jnp.ndarray  # [num_tiles + 1] int32, all chunk-aligned
+    num_tiles_x: int
+    num_tiles_y: int
+    overflow: jnp.ndarray  # [] int32: pairs dropped due to capacity
+
+
+def tile_spans(
+    means2d: jnp.ndarray,  # [M, 2] flattened over cameras
+    radii: jnp.ndarray,  # [M] int32 (0 = culled)
+    width: int,
+    height: int,
+    tile_size: int,
+):
+    """Inclusive tile ranges [x0, x1] x [y0, y1] per gaussian and pair counts."""
+    num_tx = -(-width // tile_size)
+    num_ty = -(-height // tile_size)
+    r = radii.astype(jnp.float32)
+    x0 = jnp.floor((means2d[:, 0] - r) / tile_size).astype(jnp.int32)
+    x1 = jnp.floor((means2d[:, 0] + r) / tile_size).astype(jnp.int32)
+    y0 = jnp.floor((means2d[:, 1] - r) / tile_size).astype(jnp.int32)
+    y1 = jnp.floor((means2d[:, 1] + r) / tile_size).astype(jnp.int32)
+    x0 = jnp.clip(x0, 0, num_tx - 1)
+    x1 = jnp.clip(x1, 0, num_tx - 1)
+    y0 = jnp.clip(y0, 0, num_ty - 1)
+    y1 = jnp.clip(y1, 0, num_ty - 1)
+    valid = radii > 0
+    counts = jnp.where(valid, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
+    return (x0, x1, y0, y1), counts, (num_tx, num_ty)
+
+
+def padded_capacity(pair_capacity: int, num_tiles: int, chunk: int) -> int:
+    """Static capacity of the chunk-aligned pair layout."""
+    cap = pair_capacity + num_tiles * (chunk - 1)
+    return -(-cap // chunk) * chunk
+
+
+def bin_gaussians(
+    means2d: jnp.ndarray,  # [C, N, 2]
+    radii: jnp.ndarray,  # [C, N] int32
+    depths: jnp.ndarray,  # [C, N]
+    width: int,
+    height: int,
+    tile_size: int,
+    pair_capacity: int,
+    chunk: int = 128,
+) -> TileBinning:
+    c, n = radii.shape
+    m2 = means2d.reshape(c * n, 2)
+    rad = radii.reshape(c * n)
+    dep = depths.reshape(c * n)
+
+    (x0, x1, y0, y1), counts, (ntx, nty) = tile_spans(
+        m2, rad, width, height, tile_size
+    )
+    tiles_per_cam = ntx * nty
+    num_tiles = c * tiles_per_cam
+
+    offsets = jnp.cumsum(counts) - counts  # exclusive prefix
+    total = offsets[-1] + counts[-1]
+    gids = jnp.arange(c * n, dtype=jnp.int32)
+
+    pair_gid = jnp.repeat(
+        gids, counts, total_repeat_length=pair_capacity
+    )  # padded with the last valid gid — masked below
+    idx = jnp.arange(pair_capacity, dtype=jnp.int32)
+    local = idx - offsets[pair_gid]
+    span_w = x1[pair_gid] - x0[pair_gid] + 1
+    tx = x0[pair_gid] + local % span_w
+    ty = y0[pair_gid] + local // span_w
+    cam = pair_gid // n
+    tile = cam * tiles_per_cam + ty * ntx + tx
+
+    pair_valid = idx < total
+    tile = jnp.where(pair_valid, tile, num_tiles)  # sentinel sorts to the end
+
+    # Positive-depth float bits are monotone as int32 -> cheap sortable key.
+    depth_key = jax.lax.bitcast_convert_type(
+        jnp.maximum(dep[pair_gid], 0.0), jnp.int32
+    )
+    tile_s, _, gid_s = jax.lax.sort(
+        (tile, depth_key, pair_gid), num_keys=2
+    )
+
+    starts = jnp.searchsorted(
+        tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_counts = starts[1:] - starts[:-1]
+
+    # Re-gather into the chunk-aligned layout.
+    cap_pad = padded_capacity(pair_capacity, num_tiles, chunk)
+    counts_pad = -(-tile_counts // chunk) * chunk
+    astarts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_pad).astype(jnp.int32)]
+    )
+    slot = jnp.arange(cap_pad, dtype=jnp.int32)
+    slot_tile = (
+        jnp.searchsorted(astarts, slot, side="right").astype(jnp.int32) - 1
+    )
+    slot_tile = jnp.clip(slot_tile, 0, num_tiles - 1)
+    off = slot - astarts[slot_tile]
+    aligned_valid = (off < tile_counts[slot_tile]) & (slot < astarts[-1])
+    src = jnp.clip(starts[slot_tile] + off, 0, pair_capacity - 1)
+    pair_gid_a = jnp.where(aligned_valid, gid_s[src], 0)
+
+    overflow = jnp.maximum(total - pair_capacity, 0).astype(jnp.int32) + (
+        jnp.maximum(astarts[-1] - cap_pad, 0)
+    )
+    astarts = jnp.minimum(astarts, cap_pad)  # keep kernel DMA in bounds
+    return TileBinning(
+        pair_gid=pair_gid_a,
+        pair_valid=aligned_valid,
+        tile_starts=astarts,
+        num_tiles_x=ntx,
+        num_tiles_y=nty,
+        overflow=overflow,
+    )
+
+
+def pack_pairs(
+    binning: TileBinning,
+    means2d: jnp.ndarray,  # [C, N, 2]
+    conics: jnp.ndarray,  # [C, N, 3]
+    opacities: jnp.ndarray,  # [C, N]
+    colors: jnp.ndarray,  # [C, N, 3]
+    depths: jnp.ndarray,  # [C, N]
+) -> jnp.ndarray:
+    """Gather per-pair gaussian attributes into [PACK_COLS, CAP_PAD] f32.
+
+    Attribute-major (transposed) so the kernel's chunked DMA slices the
+    lane dimension at chunk-aligned offsets. Kept as a separate
+    differentiable function: its VJP (a segment-sum scatter-add back to
+    [C, N]) is generated by autodiff, so the Pallas compositor only has to
+    produce *per-pair* gradients.
+    """
+    c, n = opacities.shape
+    gid = binning.pair_gid
+    flat = lambda a: a.reshape(c * n, -1)[gid]  # [CAP_PAD, k]
+    rows = jnp.concatenate(
+        [
+            flat(means2d),  # 0:2
+            flat(conics),  # 2:5
+            flat(opacities),  # 5
+            flat(colors),  # 6:9
+            flat(depths),  # 9
+        ],
+        axis=1,
+    ).T  # [10, CAP_PAD]
+    rows = jnp.pad(rows, ((0, PACK_COLS - rows.shape[0]), (0, 0)))
+    # Zero attributes of invalid (overflow/padding) pairs so the kernel's
+    # chunk math is inert for them regardless of tile ranges.
+    return jnp.where(binning.pair_valid[None, :], rows, 0.0)

@@ -1,0 +1,204 @@
+"""Parity: Pallas tile rasterizer (interpret mode on CPU) vs the XLA oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gs_init_tpu.ops.projection import project_gaussians
+from gs_init_tpu.ops.render import rasterize
+from gs_init_tpu.ops.tiles import bin_gaussians
+
+W, H = 80, 64
+
+
+def _scene(rng, n=48):
+    K = jnp.array([[70.0, 0, W / 2], [0, 70.0, H / 2], [0, 0, 1]], jnp.float32)
+    viewmat = jnp.eye(4, dtype=jnp.float32)
+    means = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-0.7, 0.7, n),
+                rng.uniform(-0.5, 0.5, n),
+                rng.uniform(1.0, 4.0, n),
+            ],
+            -1,
+        ),
+        jnp.float32,
+    )
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.02, 0.2, (n, 3)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 0.95, n), jnp.float32)
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    return means, quats, scales, opac, colors, viewmat[None], K[None]
+
+
+def test_binning_invariants(rng):
+    means, quats, scales, opac, colors, viewmats, Ks = _scene(rng)
+    proj = project_gaussians(means, quats, scales, opac, viewmats, Ks, W, H)
+    chunk = 128
+    b = bin_gaussians(
+        proj.means2d, proj.radii, proj.depths, W, H, 16, 4096, chunk=chunk
+    )
+    ntiles = b.num_tiles_x * b.num_tiles_y
+    assert b.num_tiles_x == 5 and b.num_tiles_y == 4
+    starts = np.asarray(b.tile_starts)
+    assert (np.diff(starts) >= 0).all()
+    assert (starts % chunk == 0).all()  # aligned layout invariant
+    assert int(b.overflow) == 0
+    gid = np.asarray(b.pair_gid)
+    valid = np.asarray(b.pair_valid)
+    m2 = np.asarray(proj.means2d[0])
+    rad = np.asarray(proj.radii[0])
+    dep = np.asarray(proj.depths[0])
+    n_valid = 0
+    for t in range(ntiles):
+        seg = slice(starts[t], starts[t + 1])
+        seg_valid = valid[seg]
+        # Valid pairs are contiguous at the front of each aligned range.
+        k = int(seg_valid.sum())
+        n_valid += k
+        assert seg_valid[:k].all() and not seg_valid[k:].any()
+        tx, ty = t % b.num_tiles_x, t // b.num_tiles_x
+        for g in gid[seg][:k]:
+            # Every valid pair's gaussian overlaps its tile's bbox.
+            assert m2[g, 0] + rad[g] >= tx * 16 and m2[g, 0] - rad[g] <= (tx + 1) * 16
+            assert m2[g, 1] + rad[g] >= ty * 16 and m2[g, 1] - rad[g] <= (ty + 1) * 16
+        # Depth-sorted within each tile.
+        assert (np.diff(dep[gid[seg][:k]]) >= 0).all()
+    assert n_valid == int(valid.sum())
+    # Total pair count matches the per-gaussian tile span sum.
+    spans = 0
+    for g in range(len(rad)):
+        if rad[g] > 0:
+            x0 = max(0, int(np.floor((m2[g, 0] - rad[g]) / 16)))
+            x1 = min(b.num_tiles_x - 1, int(np.floor((m2[g, 0] + rad[g]) / 16)))
+            y0 = max(0, int(np.floor((m2[g, 1] - rad[g]) / 16)))
+            y1 = min(b.num_tiles_y - 1, int(np.floor((m2[g, 1] + rad[g]) / 16)))
+            spans += (x1 - x0 + 1) * (y1 - y0 + 1)
+    assert n_valid == spans
+
+
+def test_binning_overflow_reported(rng):
+    means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=64)
+    proj = project_gaussians(means, quats, scales, opac, viewmats, Ks, W, H)
+    b = bin_gaussians(proj.means2d, proj.radii, proj.depths, W, H, 16, 64)
+    from gs_init_tpu.ops.tiles import padded_capacity
+
+    cap_pad = padded_capacity(64, b.num_tiles_x * b.num_tiles_y, 128)
+    assert int(b.overflow) > 0
+    assert int(b.tile_starts[-1]) <= cap_pad
+    assert int(np.asarray(b.pair_valid).sum()) <= 64
+
+
+def _render_both(rng, n=48, render_mode="RGB", bg=None, antialiased=False):
+    means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n)
+    kw = dict(
+        sh_degree=None,
+        render_mode=render_mode,
+        backgrounds=bg,
+        rasterize_mode="antialiased" if antialiased else "classic",
+        pair_capacity=8192,
+    )
+    out_ref = rasterize(
+        means, quats, scales, opac, colors, viewmats, Ks, W, H, impl="xla", **kw
+    )
+    out_pal = rasterize(
+        means, quats, scales, opac, colors, viewmats, Ks, W, H, impl="pallas", **kw
+    )
+    return out_ref, out_pal
+
+
+@pytest.mark.parametrize("render_mode", ["RGB", "RGB+ED"])
+def test_pallas_matches_oracle_forward(rng, render_mode):
+    (r_ref, a_ref, _), (r_pal, a_pal, info) = _render_both(
+        rng, render_mode=render_mode, bg=jnp.array([[0.2, 0.3, 0.4]])
+    )
+    assert int(info.overflow) == 0
+    np.testing.assert_allclose(
+        np.asarray(a_pal), np.asarray(a_ref), atol=2e-4
+    )
+    rgb_ref, rgb_pal = np.asarray(r_ref[..., :3]), np.asarray(r_pal[..., :3])
+    np.testing.assert_allclose(rgb_pal, rgb_ref, atol=5e-4)
+    if render_mode == "RGB+ED":
+        ed_ref, ed_pal = np.asarray(r_ref[..., 3]), np.asarray(r_pal[..., 3])
+        significant = np.asarray(a_ref[..., 0]) > 1e-2
+        np.testing.assert_allclose(
+            ed_pal[significant], ed_ref[significant], atol=5e-3
+        )
+
+
+def test_pallas_matches_oracle_antialiased(rng):
+    (r_ref, a_ref, _), (r_pal, a_pal, _) = _render_both(rng, antialiased=True)
+    np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=5e-4)
+
+
+def test_pallas_backward_matches_oracle(rng):
+    means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=32)
+    target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)), jnp.float32)
+
+    def loss(impl, params):
+        m, q, s, o, c = params
+        render, alpha, _ = rasterize(
+            m, q, s, o, c, viewmats, Ks, W, H, impl=impl, pair_capacity=8192
+        )
+        return jnp.mean((render - target) ** 2) + 0.1 * jnp.mean(alpha)
+
+    params = (means, quats, scales, opac, colors)
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss("xla", p))(params)
+    l_pal, g_pal = jax.value_and_grad(lambda p: loss("pallas", p))(params)
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-4)
+    names = ["means", "quats", "scales", "opacities", "colors"]
+    for name, gr, gp in zip(names, g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        assert np.isfinite(gp).all(), name
+        scale = np.abs(gr).max() + 1e-8
+        np.testing.assert_allclose(gp / scale, gr / scale, atol=2e-3, err_msg=name)
+
+
+def test_means2d_dummy_gradients(rng):
+    """Screen-space gradient taps (densification signal) flow and match."""
+    means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=24)
+    dummy = jnp.zeros((1, means.shape[0], 2))
+
+    def loss(impl, dummy):
+        render, _, _ = rasterize(
+            means, quats, scales, opac, colors, viewmats, Ks, W, H,
+            impl=impl, means2d_dummy=dummy, pair_capacity=8192,
+        )
+        return jnp.sum(render**2)
+
+    g_ref = jax.grad(lambda d: loss("xla", d))(dummy)
+    g_pal = jax.grad(lambda d: loss("pallas", d))(dummy)
+    assert float(jnp.abs(g_ref).sum()) > 0
+    scale = float(jnp.abs(g_ref).max()) + 1e-8
+    np.testing.assert_allclose(
+        np.asarray(g_pal) / scale, np.asarray(g_ref) / scale, atol=2e-3
+    )
+
+
+def test_sh_rendering_path(rng):
+    means, quats, scales, opac, _, viewmats, Ks = _scene(rng, n=16)
+    sh = jnp.asarray(rng.normal(size=(16, 16, 3)) * 0.3, jnp.float32)
+    r_ref, _, _ = rasterize(
+        means, quats, scales, opac, sh, viewmats, Ks, W, H,
+        sh_degree=3, impl="xla",
+    )
+    r_pal, _, _ = rasterize(
+        means, quats, scales, opac, sh, viewmats, Ks, W, H,
+        sh_degree=3, impl="pallas", pair_capacity=8192,
+    )
+    np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=5e-4)
+
+
+def test_empty_scene_pallas(rng):
+    means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=8)
+    means = means + jnp.array([0.0, 0.0, -50.0])  # all behind camera
+    render, alpha, _ = rasterize(
+        means, quats, scales, opac, colors, viewmats, Ks, W, H,
+        impl="pallas", pair_capacity=1024,
+        backgrounds=jnp.array([[1.0, 0.5, 0.25]]),
+    )
+    np.testing.assert_allclose(np.asarray(alpha), 0.0, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(render), np.broadcast_to([1.0, 0.5, 0.25], (1, H, W, 3)), atol=1e-6
+    )
