@@ -21,7 +21,7 @@ from typing import List, Literal, Optional, Tuple
 # --------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(eq=False)
 class DefaultStrategyConfig:
     """Grow/split/prune densification from screen-space gradient statistics."""
 
@@ -45,7 +45,7 @@ class DefaultStrategyConfig:
     verbose: bool = False
 
 
-@dataclass
+@dataclass(eq=False)
 class MCMCStrategyConfig:
     """MCMC relocation densification (stochastic gaussian langevin moves)."""
 
@@ -64,7 +64,7 @@ class MCMCStrategyConfig:
 # --------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(eq=False)
 class RansacConfig:
     inlier_threshold: float = 0.01
     max_iterations: int = 2500
@@ -76,7 +76,7 @@ class RansacConfig:
     hypothesis_batch: int = 256
 
 
-@dataclass
+@dataclass(eq=False)
 class InterpolatedAlignmentConfig:
     prealign: Literal["ransac", "msac", "lstsqrs"] = "ransac"
     method: Literal["rbf", "delaunay"] = "rbf"
@@ -87,7 +87,7 @@ class InterpolatedAlignmentConfig:
     knn_median_threshold: float = 2.0
 
 
-@dataclass
+@dataclass(eq=False)
 class SegmentationConfig:
     method: Optional[Literal["slic", "sam"]] = None
     slic_n_segments: int = 40
@@ -98,7 +98,7 @@ class SegmentationConfig:
     region_margin: float = 0.0
 
 
-@dataclass
+@dataclass(eq=False)
 class DepthAlignmentConfig:
     method: Literal["lstsqrs", "ransac", "msac", "interpolate"] = "ransac"
     ransac: RansacConfig = field(default_factory=RansacConfig)
@@ -116,20 +116,20 @@ class DepthAlignmentConfig:
 # --------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(eq=False)
 class AdaptiveSubsamplingConfig:
     min_stride: int = 5
     max_stride: int = 15
 
 
-@dataclass
+@dataclass(eq=False)
 class SfmPointsMaskConfig:
     enabled: bool = False
     patches_per_image_side: int = 20
     max_sfm_points_per_patch: int = 15
 
 
-@dataclass
+@dataclass(eq=False)
 class DepthSubsamplingConfig:
     method: Literal["static", "adaptive"] = "static"
     # Static stride: keep every k-th row and column (reference config.py:44).
@@ -145,7 +145,7 @@ class DepthSubsamplingConfig:
 # --------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(eq=False)
 class PointCloudPostprocessConfig:
     lof_outlier_removal: bool = False
     lof_neighbors: int = 40
@@ -163,7 +163,7 @@ class PointCloudPostprocessConfig:
 # --------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(eq=False)
 class MonocularDepthInitConfig:
     predictor: Literal[
         "stub",
@@ -210,7 +210,7 @@ class MonocularDepthInitConfig:
 # --------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(eq=False)
 class Config:
     # Data
     data_dir: str = "data/360_v2/garden"

@@ -1,0 +1,96 @@
+"""Synthetic gaussian scene fixture (the repo's tiny COLMAP-free test scene).
+
+The reference has no tests (SURVEY.md §4); our correctness leverage is a
+self-consistent scene: ground-truth gaussians rendered by the oracle become
+the training images, so a training run must be able to recover them. Also
+provides look-at camera rigs reused by trajectory tests.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.projection import project_gaussians
+from ..ops.rasterize_ref import rasterize_reference
+
+
+class SyntheticScene(NamedTuple):
+    points: np.ndarray  # [N, 3] gt gaussian means
+    rgbs: np.ndarray  # [N, 3]
+    images: np.ndarray  # [C, H, W, 3]
+    camtoworlds: np.ndarray  # [C, 4, 4]
+    Ks: np.ndarray  # [C, 3, 3]
+    width: int
+    height: int
+    scene_scale: float
+
+
+def look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, -1.0, 0.0)) -> np.ndarray:
+    """OpenCV-convention camera-to-world (+z forward, +y down)."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.asarray(up, np.float64)
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, eye
+    return c2w
+
+
+def make_scene(
+    seed: int = 0,
+    n_gaussians: int = 96,
+    n_cams: int = 12,
+    width: int = 64,
+    height: int = 48,
+    radius: float = 3.0,
+) -> SyntheticScene:
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-0.8, 0.8, (n_gaussians, 3))
+    rgbs = rng.uniform(0.1, 0.9, (n_gaussians, 3))
+    quats = rng.normal(size=(n_gaussians, 4))
+    scales = rng.uniform(0.04, 0.15, (n_gaussians, 3))
+    opac = rng.uniform(0.5, 0.95, n_gaussians)
+
+    c2ws = []
+    for i in range(n_cams):
+        a = 2 * np.pi * i / n_cams
+        eye = np.array(
+            [radius * np.cos(a), 0.6 * np.sin(2 * a), radius * np.sin(a)]
+        )
+        c2ws.append(look_at(eye, np.zeros(3)))
+    c2ws = np.stack(c2ws)
+    f = 0.9 * width
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float64)
+    Ks = np.tile(K, (n_cams, 1, 1))
+
+    viewmats = jnp.asarray(np.linalg.inv(c2ws), jnp.float32)
+    proj = project_gaussians(
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(quats, jnp.float32),
+        jnp.asarray(scales, jnp.float32),
+        jnp.asarray(opac, jnp.float32),
+        viewmats,
+        jnp.asarray(Ks, jnp.float32),
+        width,
+        height,
+    )
+    colors = jnp.broadcast_to(
+        jnp.asarray(rgbs, jnp.float32)[None], (n_cams, n_gaussians, 3)
+    )
+    images, _, _ = rasterize_reference(proj, colors, width, height)
+    images = np.clip(np.asarray(images), 0.0, 1.0)
+
+    return SyntheticScene(
+        points=pts.astype(np.float32),
+        rgbs=rgbs.astype(np.float32),
+        images=images,
+        camtoworlds=c2ws.astype(np.float32),
+        Ks=Ks.astype(np.float32),
+        width=width,
+        height=height,
+        scene_scale=float(radius),
+    )

@@ -1,0 +1,67 @@
+"""SSIM — TPU-native replacement for fused_ssim (reference runner.py:507-509).
+
+11x11 gaussian window (sigma 1.5), C1=0.01^2, C2=0.03^2, ``padding="valid"``
+to match the fused CUDA kernel the reference trains with. Implemented as two
+separable 1-D convolutions per moment so XLA maps them onto the MXU/VPU and
+fuses the elementwise SSIM map; differentiable by autodiff (the CUDA version
+needs a hand-written backward — XLA derives ours).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size) - (size - 1) / 2
+    w = np.exp(-(x**2) / (2 * sigma**2))
+    return (w / w.sum()).astype(np.float32)
+
+
+def _blur_valid(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Separable valid-padding gaussian filter over [B, H, W, C]."""
+    k = window.shape[0]
+    b, h, w, c = x.shape
+    wy = jnp.asarray(window).reshape(k, 1, 1, 1)
+    wx = jnp.asarray(window).reshape(1, k, 1, 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, jnp.tile(wy, (1, 1, 1, c)), (1, 1), "VALID",
+        dimension_numbers=dn, feature_group_count=c,
+    )
+    y = jax.lax.conv_general_dilated(
+        y, jnp.tile(wx, (1, 1, 1, c)), (1, 1), "VALID",
+        dimension_numbers=dn, feature_group_count=c,
+    )
+    return y
+
+
+def ssim(
+    img0: jnp.ndarray,  # [B, H, W, C] predictions in [0, 1]
+    img1: jnp.ndarray,  # [B, H, W, C] targets
+    c1: float = 0.01**2,
+    c2: float = 0.03**2,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Mean SSIM over a batch (scalar), valid padding."""
+    w = jnp.asarray(_gaussian_window(window_size, sigma))
+    mu0 = _blur_valid(img0, w)
+    mu1 = _blur_valid(img1, w)
+    mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1
+    s00 = _blur_valid(img0 * img0, w) - mu00
+    s11 = _blur_valid(img1 * img1, w) - mu11
+    s01 = _blur_valid(img0 * img1, w) - mu01
+    m = ((2 * mu01 + c1) * (2 * s01 + c2)) / (
+        (mu00 + mu11 + c1) * (s00 + s11 + c2)
+    )
+    return jnp.mean(m)
+
+
+def psnr(img0: jnp.ndarray, img1: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    mse = jnp.mean((img0 - img1) ** 2)
+    return 20.0 * jnp.log10(max_val) - 10.0 * jnp.log10(jnp.maximum(mse, 1e-12))

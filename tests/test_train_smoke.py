@@ -1,0 +1,142 @@
+"""End-to-end smoke training on the synthetic scene: PSNR must improve."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gs_init_tpu.config import Config, DefaultStrategyConfig
+from gs_init_tpu.datasets.synthetic import make_scene
+from gs_init_tpu.engine.optim import init_adam_state, make_adam_config
+from gs_init_tpu.engine.params import init_from_points, num_alive
+from gs_init_tpu.engine.strategy import default as dstrat
+from gs_init_tpu.engine.train_step import Batch, make_train_step
+from gs_init_tpu.ops.render import rasterize
+from gs_init_tpu.ops.ssim import psnr
+
+
+def _eval_psnr(cfg, gstate, scene):
+    scales, opac = gstate.params.activated()
+    render, _, _ = rasterize(
+        gstate.params.means,
+        gstate.params.quats,
+        scales,
+        opac,
+        gstate.params.sh_coeffs(),
+        jnp.linalg.inv(jnp.asarray(scene.camtoworlds)),
+        jnp.asarray(scene.Ks),
+        scene.width,
+        scene.height,
+        sh_degree=cfg.sh_degree,
+        alive=gstate.alive,
+        impl="xla",
+    )
+    render = jnp.clip(render, 0.0, 1.0)
+    return float(psnr(render, jnp.asarray(scene.images)))
+
+
+def test_training_improves_psnr(rng):
+    scene = make_scene(n_gaussians=64, n_cams=8, width=48, height=32)
+    cfg = Config(
+        max_steps=240,
+        sh_degree=1,
+        sh_degree_interval=100,
+        max_gaussians=256,
+        pair_capacity=1 << 14,
+        rasterizer_impl="xla",
+        strategy=DefaultStrategyConfig(
+            refine_start_iter=60, refine_every=60, reset_every=10_000
+        ),
+    )
+    # Init from noisy gt points (mimics an imperfect SfM/depth init).
+    pts = scene.points + rng.normal(0, 0.05, scene.points.shape).astype(np.float32)
+    rgb = np.clip(
+        scene.rgbs + rng.normal(0, 0.1, scene.rgbs.shape), 0, 1
+    ).astype(np.float32)
+    gstate = init_from_points(
+        jnp.asarray(pts), jnp.asarray(rgb), cfg.max_gaussians, cfg.sh_degree
+    )
+    adam = init_adam_state(gstate.params)
+    acfg = make_adam_config(cfg, scene.scene_scale)
+    sstate = dstrat.init_state(cfg.max_gaussians)
+    step_fn = make_train_step(cfg, acfg, scene.width, scene.height)
+
+    psnr0 = _eval_psnr(cfg, gstate, scene)
+    key = jax.random.PRNGKey(0)
+    n_alive_before = int(num_alive(gstate))
+
+    refine_jit = jax.jit(dstrat.refine, static_argnames=("scene_scale", "cfg"))
+    losses = []
+    for step in range(cfg.max_steps):
+        key, k1, k2 = jax.random.split(key, 3)
+        ci = int(jax.random.randint(k1, (), 0, scene.images.shape[0]))
+        batch = Batch(
+            camtoworlds=jnp.asarray(scene.camtoworlds[ci : ci + 1]),
+            Ks=jnp.asarray(scene.Ks[ci : ci + 1]),
+            pixels=jnp.asarray(scene.images[ci : ci + 1]),
+            image_ids=jnp.asarray([ci]),
+        )
+        gstate, adam, sstate, metrics = step_fn(
+            gstate, adam, sstate, batch, jnp.int32(step), k2
+        )
+        losses.append(float(metrics["loss"]))
+        s = cfg.strategy
+        if (
+            s.refine_start_iter < step < s.refine_stop_iter
+            and step % s.refine_every == 0
+        ):
+            key, kr = jax.random.split(key)
+            gstate, adam, sstate, stats = refine_jit(
+                gstate, adam, sstate, kr, scene.scene_scale, s, jnp.int32(step)
+            )
+
+    psnr1 = _eval_psnr(cfg, gstate, scene)
+    assert np.mean(losses[-20:]) < np.mean(losses[:20])
+    assert psnr1 > psnr0 + 3.0, f"PSNR {psnr0:.2f} -> {psnr1:.2f}"
+    assert int(num_alive(gstate)) >= 1
+    print(f"\nsmoke train: PSNR {psnr0:.2f} -> {psnr1:.2f}, "
+          f"alive {n_alive_before} -> {int(num_alive(gstate))}")
+
+
+def test_refine_grow_and_prune(rng):
+    """Densification mechanics: split/dup allocate slots, prune kills."""
+    scene = make_scene(n_gaussians=16, n_cams=4, width=32, height=24)
+    cap = 64
+    gstate = init_from_points(
+        jnp.asarray(scene.points[:16]), jnp.asarray(scene.rgbs[:16]), cap, 1
+    )
+    adam = init_adam_state(gstate.params)
+    scfg = DefaultStrategyConfig()
+    sstate = dstrat.init_state(cap)
+    # Fake high gradients on the first 8 gaussians.
+    sstate = sstate._replace(
+        grad2d=jnp.zeros(cap).at[:8].set(1.0), count=jnp.ones(cap)
+    )
+    g2, adam2, _, stats = dstrat.refine(
+        gstate, adam, sstate, jax.random.PRNGKey(0), 1.0, scfg, jnp.int32(1000)
+    )
+    assert int(stats["n_dup"] + stats["n_split"]) == 8
+    assert int(num_alive(g2)) == 16 + 8
+    # Opacity pruning: set some opacities very low.
+    params = g2.params._replace(
+        opacities=g2.params.opacities.at[:4].set(-10.0)
+    )
+    g3, _, _, stats = dstrat.refine(
+        g2._replace(params=params), adam2, dstrat.init_state(cap),
+        jax.random.PRNGKey(1), 1.0, scfg, jnp.int32(1000),
+    )
+    assert int(num_alive(g3)) == 16 + 8 - 4
+
+
+def test_opacity_reset():
+    scene = make_scene(n_gaussians=8, n_cams=2, width=32, height=24)
+    gstate = init_from_points(
+        jnp.asarray(scene.points[:8]), jnp.asarray(scene.rgbs[:8]), 16, 1
+    )
+    adam = init_adam_state(gstate.params)
+    adam = adam._replace(
+        mu=adam.mu._replace(opacities=jnp.ones_like(adam.mu.opacities))
+    )
+    scfg = DefaultStrategyConfig()
+    g2, adam2 = dstrat.reset_opacities(gstate, adam, scfg)
+    opa = jax.nn.sigmoid(g2.params.opacities)
+    assert float(opa.max()) <= 2 * scfg.prune_opa + 1e-6
+    assert float(jnp.abs(adam2.mu.opacities).sum()) == 0.0
