@@ -49,8 +49,8 @@ from .tiles import (
 ALPHA_MAX = 0.999
 ALPHA_MIN = 1.0 / 255.0
 TERM_EPS = 1e-4
-OUT_ROWS = 8  # r, g, b, acc, depth, T_final, unused, unused
-ROW_R, ROW_G, ROW_B, ROW_ACC, ROW_DEPTH, ROW_T = 0, 1, 2, 3, 4, 5
+OUT_ROWS = 8  # r, g, b, acc, depth, T_final, n_chunks_processed, unused
+ROW_R, ROW_G, ROW_B, ROW_ACC, ROW_DEPTH, ROW_T, ROW_NPROC = 0, 1, 2, 3, 4, 5, 6
 
 
 def _interpret() -> bool:
@@ -88,7 +88,7 @@ def _alpha_terms(d, px, py, i, chunk, n):
 
 
 def _fwd_kernel(
-    starts_ref, packed_ref, out_ref, nproc_ref, buf, sem,
+    starts_ref, packed_ref, out_ref, buf, sem,
     *, chunk, tile, ntx, nty, pixels,
 ):
     t = pl.program_id(0)
@@ -144,11 +144,13 @@ def _fwd_kernel(
     )
     out_ref[0, ROW_ACC, :] = 1.0 - tfin[0]
     out_ref[0, ROW_T, :] = tfin[0]
-    nproc_ref[t, 0] = i_end
+    out_ref[0, ROW_NPROC, :] = jnp.full((pixels,), 1.0, jnp.float32) * i_end.astype(
+        jnp.float32
+    )
 
 
 def _bwd_kernel(
-    starts_ref, packed_ref, fwdout_ref, nproc_ref, gout_ref, dpairs_ref,
+    starts_ref, packed_ref, fwdout_ref, gout_ref, dpairs_ref,
     buf, gbuf, sem, osem,
     *, chunk, tile, ntx, nty, pixels,
 ):
@@ -156,7 +158,6 @@ def _bwd_kernel(
     start = starts_ref[t]
     n = starts_ref[t + 1] - start
     nchunks = (n + chunk - 1) // chunk
-    i_end = nproc_ref[t, 0]
 
     tiles_per_cam = ntx * nty
     tloc = t % tiles_per_cam
@@ -174,6 +175,7 @@ def _bwd_kernel(
     # dL/dalpha_k contribution of the T_N path is (g_acc - g_T) T_N/(1-a_k).
     g_tn = gout_ref[0, ROW_ACC : ROW_ACC + 1, :] - gout_ref[0, ROW_T : ROW_T + 1, :]
     tfin = fwdout_ref[0, ROW_T : ROW_T + 1, :]  # [1, P]
+    i_end_f = fwdout_ref[0, ROW_NPROC : ROW_NPROC + 1, :]  # [1, P] broadcast
 
     utri_incl = 1.0 - _tri(chunk, strict_lower=True)  # j >= i
     utri_strict = _tri(chunk, strict_lower=False)  # j > i
@@ -188,7 +190,7 @@ def _bwd_kernel(
         cp.start()
         cp.wait()
         d = jnp.transpose(buf[:])  # [chunk, PACK_COLS]
-        processed = i < i_end
+        processed = (i.astype(jnp.float32) < i_end_f)  # [1, P], uniform
 
         alpha, aux = _alpha_terms(d, px, py, i, chunk, n)
         logs = jnp.log1p(-alpha)
@@ -222,7 +224,7 @@ def _bwd_kernel(
             w, g_rgbd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [chunk, 4] = (dr, dg, db, ddepth)
-        dcols = jnp.where(processed, dcols, 0.0)
+        dcols = jnp.where(processed[:, :1], dcols, 0.0)
         live = aux["unclamped"]
         e = jnp.where(live, aux["e"], 0.0)
         dopa = jnp.sum(dalpha * e, axis=1, keepdims=True)
@@ -273,10 +275,7 @@ def _composite_fwd_call(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=(
-            pl.BlockSpec((1, OUT_ROWS, pixels), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
+        out_specs=pl.BlockSpec((1, OUT_ROWS, pixels), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((PACK_COLS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -288,10 +287,7 @@ def _composite_fwd_call(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, pixels), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, pixels), jnp.float32),
         interpret=_interpret(),
     )(tile_starts, packed)
 
@@ -301,7 +297,7 @@ def _composite_fwd_call(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
     static_argnames=("num_tiles", "ntx", "nty", "tile", "chunk"),
 )
 def _composite_bwd_call(
-    packed, tile_starts, fwd_out, nproc, g_out, num_tiles, ntx, nty, tile, chunk
+    packed, tile_starts, fwd_out, g_out, num_tiles, ntx, nty, tile, chunk
 ):
     pixels = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -310,7 +306,6 @@ def _composite_bwd_call(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, OUT_ROWS, pixels), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, OUT_ROWS, pixels), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -330,7 +325,7 @@ def _composite_bwd_call(
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(tile_starts, packed, fwd_out, nproc, g_out)
+    )(tile_starts, packed, fwd_out, g_out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -342,25 +337,24 @@ def composite_pairs(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
         with chunk-aligned tile ranges (tiles.pack_pairs output).
       tile_starts: [num_tiles + 1] int32 pair-range offsets.
     Returns:
-      (out [num_tiles, OUT_ROWS, tile*tile] f32, nproc [num_tiles, 1] int32).
-      ``nproc`` (chunks processed before saturation) is non-differentiable.
+      out [num_tiles, OUT_ROWS, tile*tile] f32 (rows: r, g, b, acc, depth,
+      T_final, chunks-processed; the last two rows are non-differentiable
+      bookkeeping).
     """
-    out, nproc = _composite_fwd(packed, tile_starts, num_tiles, ntx, nty, tile, chunk)[0]
-    return out, nproc
+    return _composite_fwd(packed, tile_starts, num_tiles, ntx, nty, tile, chunk)[0]
 
 
 def _composite_fwd(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
-    out, nproc = _composite_fwd_call(
+    out = _composite_fwd_call(
         packed, tile_starts, num_tiles, ntx, nty, tile, chunk
     )
-    return (out, nproc), (packed, tile_starts, out, nproc)
+    return out, (packed, tile_starts, out)
 
 
-def _composite_bwd(num_tiles, ntx, nty, tile, chunk, res, cots):
-    packed, tile_starts, out, nproc = res
-    g_out, _ = cots  # nproc cotangent is float0
+def _composite_bwd(num_tiles, ntx, nty, tile, chunk, res, g_out):
+    packed, tile_starts, out = res
     dpacked = _composite_bwd_call(
-        packed, tile_starts, out, nproc, g_out, num_tiles, ntx, nty, tile, chunk
+        packed, tile_starts, out, g_out, num_tiles, ntx, nty, tile, chunk
     )
     dstarts = np.zeros(tile_starts.shape, dtype=jax.dtypes.float0)
     return dpacked, dstarts

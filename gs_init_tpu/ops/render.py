@@ -123,7 +123,7 @@ def rasterize(
             binning, means2d, proj.conics, proj.opacities, cam_colors, proj.depths
         )
         num_tiles = num_cams * binning.num_tiles_x * binning.num_tiles_y
-        out, _ = composite_pairs(
+        out = composite_pairs(
             packed,
             binning.tile_starts,
             num_tiles,

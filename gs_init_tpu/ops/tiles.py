@@ -5,14 +5,18 @@ CUDA kernels. Design (no atomics, no dynamic allocation):
 
 1. per (camera, gaussian): tile span from screen radius
 2. exclusive prefix-sum of span sizes -> pair offsets
-3. expand to a fixed-capacity pair list with ``jnp.repeat(...,
-   total_repeat_length=PAIR_CAP)`` (overflow truncates; tracked in ``info``)
+3. expand to a fixed-capacity pair list; the pair->gaussian map is built with
+   a scatter + cumsum (a 17-round binary search per pair would be ~40x more
+   gather traffic on TPU)
 4. lexicographic ``lax.sort`` by (tile_id, depth) with the flattened
    (camera*gaussian) index as payload
-5. per-tile ranges via ``searchsorted``
+5. per-tile ranges via one-shot comparisons (``searchsorted`` compare_all)
+6. ranges re-gathered into a *chunk-aligned* layout (Mosaic requires
+   128-aligned offsets when DMA-slicing the minor dim of an HBM buffer)
 
-The pair list is then gathered into a packed [PAIR_CAP, 16] f32 array that
-the Pallas compositor DMAs chunk-by-chunk (ops/rasterize.py).
+The pair list is then gathered into a packed [PACK_COLS, CAP_PAD] f32 array
+(one row-gather of a pre-packed per-gaussian attribute table, not ten
+separate gathers) that the Pallas compositor DMAs chunk-by-chunk.
 """
 from __future__ import annotations
 
@@ -35,9 +39,8 @@ class TileBinning(NamedTuple):
 
     Every tile's pair range [tile_starts[t], tile_starts[t+1]) starts at a
     multiple of the compositor chunk (and is chunk-sized-padded), so the
-    Pallas kernel's DMA slices are lane-aligned — Mosaic requires 128-aligned
-    offsets when slicing the minor dimension of an HBM buffer. Padding slots
-    inside a range have ``pair_valid=False`` and zeroed attributes.
+    Pallas kernel's DMA slices are lane-aligned. Padding slots inside a range
+    have ``pair_valid=False`` and zeroed attributes.
     """
 
     pair_gid: jnp.ndarray  # [CAP_PAD] int32 flattened (cam*N + gaussian) id
@@ -72,6 +75,21 @@ def tile_spans(
     return (x0, x1, y0, y1), counts, (num_tx, num_ty)
 
 
+def _segment_ids_from_offsets(offsets: jnp.ndarray, total: jnp.ndarray, cap: int):
+    """Map each slot in [0, cap) to its segment: scatter ones at segment
+    starts, cumsum, subtract 1. Replaces a per-slot binary search.
+
+    Empty segments share their start with the next segment; their scatters
+    accumulate at the tied index so the cumsum resolves to the *last* segment
+    of the tie group — exactly the one that occupies those slots.
+    """
+    ind = jnp.zeros((cap,), jnp.int32)
+    ind = ind.at[jnp.minimum(offsets, cap)].add(1, mode="drop")
+    ids = jnp.cumsum(ind) - 1
+    valid = jnp.arange(cap, dtype=jnp.int32) < total
+    return jnp.clip(ids, 0, None), valid
+
+
 def padded_capacity(pair_capacity: int, num_tiles: int, chunk: int) -> int:
     """Static capacity of the chunk-aligned pair layout."""
     cap = pair_capacity + num_tiles * (chunk - 1)
@@ -101,32 +119,34 @@ def bin_gaussians(
 
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix
     total = offsets[-1] + counts[-1]
-    gids = jnp.arange(c * n, dtype=jnp.int32)
 
-    pair_gid = jnp.repeat(
-        gids, counts, total_repeat_length=pair_capacity
-    )  # padded with the last valid gid — masked below
+    # pair -> gaussian map via scatter + cumsum.
+    pair_gid, pair_valid = _segment_ids_from_offsets(
+        offsets, total, pair_capacity
+    )
+
+    # One gather of the packed per-gaussian span table instead of four.
+    span_tbl = jnp.stack([x0, y0, x1 - x0 + 1, offsets], axis=1)
+    g = span_tbl[pair_gid]  # [CAP, 4]
     idx = jnp.arange(pair_capacity, dtype=jnp.int32)
-    local = idx - offsets[pair_gid]
-    span_w = x1[pair_gid] - x0[pair_gid] + 1
-    tx = x0[pair_gid] + local % span_w
-    ty = y0[pair_gid] + local // span_w
+    local = idx - g[:, 3]
+    tx = g[:, 0] + local % g[:, 2]
+    ty = g[:, 1] + local // g[:, 2]
     cam = pair_gid // n
     tile = cam * tiles_per_cam + ty * ntx + tx
-
-    pair_valid = idx < total
     tile = jnp.where(pair_valid, tile, num_tiles)  # sentinel sorts to the end
 
     # Positive-depth float bits are monotone as int32 -> cheap sortable key.
     depth_key = jax.lax.bitcast_convert_type(
         jnp.maximum(dep[pair_gid], 0.0), jnp.int32
     )
-    tile_s, _, gid_s = jax.lax.sort(
-        (tile, depth_key, pair_gid), num_keys=2
-    )
+    tile_s, _, gid_s = jax.lax.sort((tile, depth_key, pair_gid), num_keys=2)
 
     starts = jnp.searchsorted(
-        tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        tile_s,
+        jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side="left",
+        method="compare_all",
     ).astype(jnp.int32)
     tile_counts = starts[1:] - starts[:-1]
 
@@ -136,11 +156,9 @@ def bin_gaussians(
     astarts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_pad).astype(jnp.int32)]
     )
+    slot_tile, _ = _segment_ids_from_offsets(astarts[:-1], astarts[-1], cap_pad)
+    slot_tile = jnp.minimum(slot_tile, num_tiles - 1)
     slot = jnp.arange(cap_pad, dtype=jnp.int32)
-    slot_tile = (
-        jnp.searchsorted(astarts, slot, side="right").astype(jnp.int32) - 1
-    )
-    slot_tile = jnp.clip(slot_tile, 0, num_tiles - 1)
     off = slot - astarts[slot_tile]
     aligned_valid = (off < tile_counts[slot_tile]) & (slot < astarts[-1])
     src = jnp.clip(starts[slot_tile] + off, 0, pair_capacity - 1)
@@ -170,25 +188,25 @@ def pack_pairs(
 ) -> jnp.ndarray:
     """Gather per-pair gaussian attributes into [PACK_COLS, CAP_PAD] f32.
 
-    Attribute-major (transposed) so the kernel's chunked DMA slices the
-    lane dimension at chunk-aligned offsets. Kept as a separate
-    differentiable function: its VJP (a segment-sum scatter-add back to
-    [C, N]) is generated by autodiff, so the Pallas compositor only has to
+    Attribute-major (transposed) so the kernel's chunked DMA slices the lane
+    dimension at chunk-aligned offsets. The per-gaussian attribute table is
+    packed once ([C*N, 10]) and gathered with a single row-gather. Kept as a
+    separate differentiable function: its VJP (a segment-sum scatter-add back
+    to [C, N]) is generated by autodiff, so the Pallas compositor only has to
     produce *per-pair* gradients.
     """
     c, n = opacities.shape
-    gid = binning.pair_gid
-    flat = lambda a: a.reshape(c * n, -1)[gid]  # [CAP_PAD, k]
-    rows = jnp.concatenate(
+    table = jnp.concatenate(
         [
-            flat(means2d),  # 0:2
-            flat(conics),  # 2:5
-            flat(opacities),  # 5
-            flat(colors),  # 6:9
-            flat(depths),  # 9
+            means2d.reshape(c * n, 2),
+            conics.reshape(c * n, 3),
+            opacities.reshape(c * n, 1),
+            colors.reshape(c * n, 3),
+            depths.reshape(c * n, 1),
         ],
         axis=1,
-    ).T  # [10, CAP_PAD]
+    )  # [C*N, 10]
+    rows = table[binning.pair_gid].T  # [10, CAP_PAD]
     rows = jnp.pad(rows, ((0, PACK_COLS - rows.shape[0]), (0, 0)))
     # Zero attributes of invalid (overflow/padding) pairs so the kernel's
     # chunk math is inert for them regardless of tile ranges.
