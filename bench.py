@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Flagship benchmark: full 3DGS training steps (fwd + bwd + Adam) on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Scenario: garden-like scale — 1297x840 render (MipNeRF-360 data_factor=4,
+reference config.py:85), 300k live gaussians, Pallas tile rasterizer,
+L1+SSIM loss, gradient taps for densification — i.e. the reference's hot
+loop (runner.py:424-709) per SURVEY.md §6.
+
+Baseline: gsplat's published single-GPU reference trains garden 30k iters in
+~25 min at this resolution => ~20 steps/s. BASELINE.json's north star is
+>= 2x that end-to-end; vs_baseline reports our steps/s against 20.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gs_init_tpu.config import Config
+    from gs_init_tpu.datasets.synthetic import look_at
+    from gs_init_tpu.engine.optim import (
+        init_adam_state,
+        make_adam_config,
+    )
+    from gs_init_tpu.engine.params import GaussianState, init_from_points
+    from gs_init_tpu.engine.strategy import default as dstrat
+    from gs_init_tpu.engine.train_step import Batch, make_train_step
+
+    width, height = 1296, 840
+    n = 300_000
+    cap = 393_216  # live + densification headroom
+    rng = np.random.default_rng(0)
+
+    pts = np.stack(
+        [
+            rng.uniform(-3, 3, n),
+            rng.uniform(-2, 2, n),
+            rng.uniform(-1, 6, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    rgbs = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+    cfg = Config(
+        max_steps=30_000,
+        sh_degree=3,
+        max_gaussians=cap,
+        pair_capacity=1 << 21,
+        rasterizer_impl="auto",
+        tile_size=16,
+    )
+    gstate = init_from_points(
+        jnp.asarray(pts), jnp.asarray(rgbs), cap, cfg.sh_degree
+    )
+    adam = init_adam_state(gstate.params)
+    acfg = make_adam_config(cfg, scene_scale=4.0)
+    sstate = dstrat.init_state(cap)
+    step_fn = make_train_step(cfg, acfg, width, height)
+
+    c2w = look_at(np.array([0.0, 0.0, -8.0]), np.zeros(3))
+    f = 0.85 * width
+    K = np.array(
+        [[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32
+    )
+    target = rng.uniform(0, 1, (1, height, width, 3)).astype(np.float32)
+    batch = Batch(
+        camtoworlds=jnp.asarray(c2w, jnp.float32)[None],
+        Ks=jnp.asarray(K)[None],
+        pixels=jnp.asarray(target),
+        image_ids=jnp.zeros((1,), jnp.int32),
+    )
+
+    key = jax.random.PRNGKey(0)
+    # Warmup: a host fetch is required to force compilation + execution on
+    # relayed-TPU environments (block_until_ready can return early there).
+    g1, a1, s1, metrics = step_fn(gstate, adam, sstate, batch, jnp.int32(0), key)
+    float(metrics["loss"])
+    del g1, a1, s1
+
+    # Time a closed 30-step chain with a single final scalar fetch: each
+    # step's inputs depend on the previous step's outputs, so total wall time
+    # covers all steps; per-step host syncs would add relay round trips that
+    # a real training loop does not pay.
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        gstate, adam, sstate, metrics = step_fn(
+            gstate, adam, sstate, batch, jnp.int32(i + 1), key
+        )
+    loss = float(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    sps = n_steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec_1296x840_300k_gaussians",
+                "value": round(sps, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
