@@ -1,0 +1,440 @@
+"""Training runner: host-side orchestration around the jitted train step.
+
+The reference's Runner (runner.py:141-900) is a monolithic class whose train
+loop had to be split by AST surgery for nerfbaselines embedding
+(nerfbaselines_integration/method.py:345-547). This engine is factored from
+the start: ``setup_train`` / ``train_iteration`` / ``save`` / ``eval`` /
+``render`` / ``render_traj`` are first-class methods; ``train()`` is just a
+loop over them. All device math lives in jitted functions; this class only
+does IO, logging, checkpointing and refine-schedule decisions.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, DefaultStrategyConfig, MCMCStrategyConfig
+from ..config.config import to_dict
+from ..datasets.parser import Dataset, Parser
+from ..ops.render import rasterize
+from ..ops.ssim import psnr, ssim
+from .optim import init_adam_state, make_adam_config
+from .params import GaussianState, init_from_points, init_random, num_alive
+from .strategy import default as dstrat
+from .strategy import mcmc as mcmc_strat
+from .train_step import Batch, make_train_step
+
+
+class Runner:
+    def __init__(
+        self,
+        cfg: Config,
+        parser: Optional[Parser] = None,
+        trainset: Optional[Dataset] = None,
+        valset: Optional[Dataset] = None,
+    ):
+        self.cfg = cfg
+        self.parser = parser or Parser(
+            cfg.data_dir,
+            factor=cfg.data_factor,
+            normalize=cfg.normalize_world_space,
+            test_every=cfg.test_every,
+        )
+        self.trainset = trainset or Dataset(
+            self.parser, "train", load_depths=cfg.depth_loss
+        )
+        self.valset = valset or Dataset(self.parser, "val")
+        self.scene_scale = self.parser.scene_scale * 1.1 * cfg.global_scale
+
+        os.makedirs(cfg.result_dir, exist_ok=True)
+        for sub in ["ckpts", "stats", "renders", "tb"]:
+            os.makedirs(os.path.join(cfg.result_dir, sub), exist_ok=True)
+
+        first = self.trainset[0]
+        self.height, self.width = first["image"].shape[:2]
+
+        self._init_gaussians()
+        self.acfg = make_adam_config(cfg, self.scene_scale, cfg.batch_size)
+        self.adam = init_adam_state(self.gstate.params)
+        self._init_strategy()
+        self.step_fn = make_train_step(cfg, self.acfg, self.width, self.height)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.global_step = 0
+        self._perm: List[int] = []
+        self._writer = None
+
+        with open(os.path.join(cfg.result_dir, "cfg.json"), "w") as f:
+            json.dump(to_dict(cfg), f, indent=2, default=str)
+
+    # ------------------------------------------------------------- set up
+
+    def _init_points(self):
+        cfg = self.cfg
+        if cfg.init_type == "sfm":
+            return self.parser.points, self.parser.points_rgb
+        if cfg.init_type == "random":
+            return None, None
+        if cfg.init_type == "monocular_depth":
+            from ..mdi.init import pts_and_rgb_from_monocular_depth
+
+            pts, rgb = pts_and_rgb_from_monocular_depth(cfg, self.parser)
+            return pts, rgb
+        raise ValueError(f"unknown init_type {cfg.init_type!r}")
+
+    def _init_gaussians(self):
+        cfg = self.cfg
+        pts, rgb = self._init_points()
+        key = jax.random.PRNGKey(cfg.seed)
+        if pts is None:
+            self.gstate = init_random(
+                key,
+                cfg.init_num_pts,
+                cfg.max_gaussians,
+                extent=cfg.init_extent,
+                scene_scale=self.scene_scale,
+                sh_degree=cfg.sh_degree,
+                init_opacity=cfg.init_opa,
+                init_scale=cfg.init_scale,
+            )
+        else:
+            if len(pts) > cfg.max_gaussians:
+                print(
+                    f"[runner] init points {len(pts)} exceed capacity "
+                    f"{cfg.max_gaussians}; truncating"
+                )
+            self.gstate = init_from_points(
+                jnp.asarray(pts),
+                jnp.asarray(rgb),
+                cfg.max_gaussians,
+                cfg.sh_degree,
+                init_opacity=cfg.init_opa,
+                init_scale=cfg.init_scale,
+                rng=key,
+            )
+
+    def _init_strategy(self):
+        s = self.cfg.strategy
+        if isinstance(s, DefaultStrategyConfig):
+            self.sstate = dstrat.init_state(self.cfg.max_gaussians)
+            self._strategy_kind = "default"
+        elif isinstance(s, MCMCStrategyConfig):
+            self.sstate = dstrat.init_state(self.cfg.max_gaussians)
+            self._strategy_kind = "mcmc"
+        else:
+            raise ValueError(f"unknown strategy {s!r}")
+        self._refine_jit = jax.jit(
+            dstrat.refine, static_argnames=("scene_scale", "cfg")
+        )
+        self._reset_jit = jax.jit(dstrat.reset_opacities, static_argnames=("cfg",))
+        self._relocate_jit = jax.jit(
+            mcmc_strat.refine, static_argnames=("cfg",)
+        )
+        self._add_noise_jit = jax.jit(
+            mcmc_strat.add_noise, static_argnames=("lr", "cfg")
+        )
+
+    @property
+    def writer(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(os.path.join(self.cfg.result_dir, "tb"))
+        return self._writer
+
+    # -------------------------------------------------------------- train
+
+    def _next_batch(self) -> Batch:
+        cfg = self.cfg
+        ids = []
+        for _ in range(cfg.batch_size):
+            if not self._perm:
+                self.key, k = jax.random.split(self.key)
+                self._perm = list(
+                    np.asarray(
+                        jax.random.permutation(k, len(self.trainset))
+                    )
+                )
+            ids.append(int(self._perm.pop()))
+        items = [self.trainset[i] for i in ids]
+        batch = Batch(
+            camtoworlds=jnp.asarray(
+                np.stack([it["camtoworld"] for it in items])
+            ),
+            Ks=jnp.asarray(np.stack([it["K"] for it in items])),
+            pixels=jnp.asarray(np.stack([it["image"] for it in items])),
+            image_ids=jnp.asarray(np.array([it["image_id"] for it in items])),
+        )
+        if cfg.depth_loss:
+            m = max(len(it["depth_points"]) for it in items)
+            m = max(m, 1)
+            dp = np.zeros((len(items), m, 2), np.float32)
+            dv = np.zeros((len(items), m), np.float32)
+            for b, it in enumerate(items):
+                k = len(it["depth_points"])
+                dp[b, :k] = it["depth_points"][:m]
+                dv[b, :k] = it["depth_values"][:m]
+            batch = batch._replace(
+                depth_points=jnp.asarray(dp), depth_values=jnp.asarray(dv)
+            )
+        return batch
+
+    def setup_train(self):
+        """Warm the compiled step (first call compiles)."""
+        return self
+
+    def train_iteration(self, step: int) -> Dict[str, float]:
+        cfg = self.cfg
+        batch = self._next_batch()
+        self.key, k = jax.random.split(self.key)
+        self.gstate, self.adam, self.sstate, metrics = self.step_fn(
+            self.gstate, self.adam, self.sstate, batch, jnp.int32(step), k
+        )
+        s = cfg.strategy
+        if self._strategy_kind == "default":
+            if (
+                s.refine_start_iter < step < s.refine_stop_iter
+                and step % s.refine_every == 0
+            ):
+                self.key, k = jax.random.split(self.key)
+                self.gstate, self.adam, self.sstate, _ = self._refine_jit(
+                    self.gstate, self.adam, self.sstate, k,
+                    self.scene_scale, s, jnp.int32(step),
+                )
+            if step % s.reset_every == 0 and step > 0:
+                self.gstate, self.adam = self._reset_jit(
+                    self.gstate, self.adam, s
+                )
+        else:  # mcmc
+            if (
+                s.refine_start_iter < step < s.refine_stop_iter
+                and step % s.refine_every == 0
+            ):
+                self.key, k = jax.random.split(self.key)
+                self.gstate, self.adam, self.sstate = self._relocate_jit(
+                    self.gstate, self.adam, self.sstate, k, s
+                )
+            self.key, k = jax.random.split(self.key)
+            lr_now = float(
+                self.acfg.lrs.means * self.acfg.means_decay_gamma**step
+            )
+            self.gstate = self._add_noise_jit(self.gstate, k, lr_now, s)
+        self.global_step = step
+        return metrics
+
+    def train(self):
+        cfg = self.cfg
+        t0 = time.time()
+        last_metrics = {}
+        for step in range(cfg.max_steps):
+            metrics = self.train_iteration(step)
+            if step % cfg.tb_every == 0:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                w = self.writer
+                for k, v in last_metrics.items():
+                    w.add_scalar(f"train/{k}", v, step)
+                w.add_scalar("train/num_GS", int(num_alive(self.gstate)), step)
+                print(
+                    f"step {step}: loss={last_metrics.get('loss', 0):.4f} "
+                    f"num_GS={int(num_alive(self.gstate))}"
+                )
+            if step + 1 in cfg.save_steps or step + 1 == cfg.max_steps:
+                self.save(step + 1)
+            if cfg.save_ply and step + 1 in cfg.ply_steps:
+                self.export_ply(step + 1)
+            if step + 1 in cfg.eval_steps or step + 1 == cfg.max_steps:
+                self.eval(step + 1)
+        elapsed = time.time() - t0
+        stats = dict(
+            elapsed=elapsed,
+            num_GS=int(num_alive(self.gstate)),
+            **last_metrics,
+        )
+        with open(
+            os.path.join(cfg.result_dir, "stats", "train_final.json"), "w"
+        ) as f:
+            json.dump(stats, f, indent=2)
+        return stats
+
+    # ------------------------------------------------------------ render
+
+    def render(
+        self,
+        camtoworld: np.ndarray,
+        K: np.ndarray,
+        width: int,
+        height: int,
+        render_mode: str = "RGB+ED",
+    ):
+        """Render one view; returns (color [H,W,3], alpha [H,W], depth [H,W])."""
+        p = self.gstate.params
+        scales, opac = p.activated()
+        render, alpha, _ = rasterize(
+            p.means,
+            p.quats,
+            scales,
+            opac,
+            p.sh_coeffs(),
+            jnp.linalg.inv(jnp.asarray(camtoworld, jnp.float32))[None],
+            jnp.asarray(K, jnp.float32)[None],
+            width,
+            height,
+            sh_degree=self.cfg.sh_degree,
+            alive=self.gstate.alive,
+            render_mode=render_mode,
+            camera_model=self.cfg.camera_model,
+            tile_size=self.cfg.tile_size,
+            pair_capacity=self.cfg.pair_capacity,
+            chunk_size=self.cfg.chunk_size,
+            impl=self.cfg.rasterizer_impl,
+            rasterize_mode="antialiased" if self.cfg.antialiased else "classic",
+        )
+        color = np.clip(np.asarray(render[0, ..., :3]), 0, 1)
+        depth = (
+            np.asarray(render[0, ..., 3]) if render_mode == "RGB+ED" else None
+        )
+        return color, np.asarray(alpha[0, ..., 0]), depth
+
+    def eval(self, step: int, stage: str = "val") -> Dict[str, float]:
+        cfg = self.cfg
+        psnrs, ssims, times = [], [], []
+        os.makedirs(os.path.join(cfg.result_dir, "renders"), exist_ok=True)
+        for i in range(len(self.valset)):
+            item = self.valset[i]
+            h, w = item["image"].shape[:2]
+            t0 = time.time()
+            color, alpha, _ = self.render(
+                item["camtoworld"], item["K"], w, h, render_mode="RGB"
+            )
+            times.append(time.time() - t0)
+            gt = item["image"]
+            psnrs.append(float(psnr(jnp.asarray(color), jnp.asarray(gt))))
+            ssims.append(
+                float(ssim(jnp.asarray(color)[None], jnp.asarray(gt)[None]))
+            )
+            if i < 4:
+                import imageio.v2 as imageio
+
+                canvas = np.concatenate([gt, color], axis=1)
+                imageio.imwrite(
+                    os.path.join(
+                        cfg.result_dir, "renders", f"{stage}_{step}_{i:03d}.png"
+                    ),
+                    (canvas * 255).astype(np.uint8),
+                )
+        stats = dict(
+            psnr=float(np.mean(psnrs)),
+            ssim=float(np.mean(ssims)),
+            ellipse_time=float(np.mean(times)) if times else 0.0,
+            num_GS=int(num_alive(self.gstate)),
+        )
+        with open(
+            os.path.join(cfg.result_dir, "stats", f"{stage}_step{step}.json"),
+            "w",
+        ) as f:
+            json.dump(stats, f, indent=2)
+        w = self.writer
+        for k, v in stats.items():
+            w.add_scalar(f"{stage}/{k}", v, step)
+        print(f"eval step {step}: PSNR={stats['psnr']:.3f} SSIM={stats['ssim']:.4f}")
+        return stats
+
+    def render_traj(self, step: int, n_frames: int = 60):
+        """Render a camera-path video (RGB + normalized depth side panel)."""
+        from ..datasets.traj import get_path
+
+        cfg = self.cfg
+        c2ws = np.stack(
+            [self.parser.images[int(i)].camtoworld
+             for i in self.parser.split_indices("train")]
+        )
+        path = get_path(cfg.render_traj_path, c2ws, n_frames=n_frames)
+        K = self.trainset[0]["K"]
+        import imageio.v2 as imageio
+
+        video_path = os.path.join(
+            cfg.result_dir, "renders", f"traj_{step}.mp4"
+        )
+        frames = []
+        for c2w in path[:n_frames]:
+            color, alpha, depth = self.render(
+                c2w, K, self.width, self.height, render_mode="RGB+ED"
+            )
+            d = depth / max(float(depth.max()), 1e-6)
+            canvas = np.concatenate(
+                [color, np.repeat(d[..., None], 3, axis=-1)], axis=1
+            )
+            frames.append((canvas * 255).astype(np.uint8))
+        try:
+            imageio.mimwrite(video_path, frames, fps=30)
+        except Exception:  # no ffmpeg: fall back to per-frame PNGs
+            for j, fr in enumerate(frames):
+                imageio.imwrite(video_path.replace(".mp4", f"_{j:04d}.png"), fr)
+        return video_path
+
+    # ---------------------------------------------------------------- ckpt
+
+    def save(self, step: int) -> str:
+        """Full-state checkpoint (params + optimizer + strategy + step) —
+        unlike the reference (eval-only restart, trainer.py:22-34) this
+        supports exact mid-training resume."""
+        path = os.path.join(self.cfg.result_dir, "ckpts", f"ckpt_{step}.npz")
+        flat = {
+            "step": np.asarray(step),
+            "alive": np.asarray(self.gstate.alive),
+            "transform": self.parser.transform,
+        }
+        for name in self.gstate.params._fields:
+            flat[f"params/{name}"] = np.asarray(getattr(self.gstate.params, name))
+            flat[f"mu/{name}"] = np.asarray(getattr(self.adam.mu, name))
+            flat[f"nu/{name}"] = np.asarray(getattr(self.adam.nu, name))
+        flat["adam_count"] = np.asarray(self.adam.count)
+        for name in self.sstate._fields:
+            flat[f"strategy/{name}"] = np.asarray(getattr(self.sstate, name))
+        np.savez(path, **flat)
+        return path
+
+    def load(self, path: str) -> int:
+        data = np.load(path)
+        p = self.gstate.params
+        params = type(p)(
+            **{n: jnp.asarray(data[f"params/{n}"]) for n in p._fields}
+        )
+        mu = type(p)(**{n: jnp.asarray(data[f"mu/{n}"]) for n in p._fields})
+        nu = type(p)(**{n: jnp.asarray(data[f"nu/{n}"]) for n in p._fields})
+        self.gstate = GaussianState(
+            params=params, alive=jnp.asarray(data["alive"])
+        )
+        self.adam = self.adam._replace(
+            mu=mu, nu=nu, count=jnp.asarray(data["adam_count"])
+        )
+        self.sstate = type(self.sstate)(
+            **{
+                n: jnp.asarray(data[f"strategy/{n}"])
+                for n in self.sstate._fields
+            }
+        )
+        self.global_step = int(data["step"])
+        return self.global_step
+
+    def export_ply(self, step: int) -> str:
+        from ..utils.ply import write_ply_splats
+
+        alive = np.asarray(self.gstate.alive)
+        p = self.gstate.params
+        path = os.path.join(self.cfg.result_dir, f"splats_{step}.ply")
+        write_ply_splats(
+            path,
+            np.asarray(p.means)[alive],
+            np.asarray(p.scales)[alive],
+            np.asarray(p.quats)[alive],
+            np.asarray(p.opacities)[alive],
+            np.asarray(p.sh0)[alive],
+            np.asarray(p.shN)[alive],
+        )
+        return path

@@ -1,0 +1,61 @@
+"""CLI entry point.
+
+Usage (mirrors the reference trainer, trainer.py:14-96):
+
+    python -m gs_init_tpu.trainer default --data_dir data/360_v2/garden \
+        --result_dir results/garden --mdi.predictor=metric3d
+    python -m gs_init_tpu.trainer mcmc --strategy.cap_max=6000000
+    python -m gs_init_tpu.trainer default --ckpt=results/g/ckpts/ckpt_7000.npz
+
+Presets: ``default`` (DefaultStrategy) and ``mcmc`` (MCMCStrategy with the
+paired loss regularizers / init overrides the reference uses,
+trainer.py:84-91).
+"""
+from __future__ import annotations
+
+import logging
+import sys
+
+from .config import Config, DefaultStrategyConfig, MCMCStrategyConfig, parse_cli
+
+
+def build_presets():
+    default = Config(strategy=DefaultStrategyConfig())
+    mcmc = Config(
+        strategy=MCMCStrategyConfig(),
+        init_opa=0.5,
+        init_scale=0.1,
+        opacity_reg=0.01,
+        scale_reg=0.01,
+    )
+    return {"default": default, "mcmc": mcmc}
+
+
+def run_with_config(cfg: Config):
+    cfg.adjust_steps()
+    from .engine.runner import Runner
+
+    runner = Runner(cfg)
+    if cfg.ckpt:
+        # Eval-only restart (reference trainer.py:22-34) — but our checkpoint
+        # carries optimizer/strategy state, so --resume continues training.
+        step = runner.load(cfg.ckpt[0])
+        runner.eval(step)
+        runner.render_traj(step)
+    else:
+        runner.train()
+    return runner
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    cfg = parse_cli(
+        argv if argv is not None else sys.argv[1:],
+        build_presets(),
+        default_preset=None,
+    )
+    return run_with_config(cfg)
+
+
+if __name__ == "__main__":
+    main()
