@@ -1,0 +1,242 @@
+"""Depth-Anything-V2 predictor — Flax port with torch checkpoint conversion.
+
+Equivalent of the reference predictor (depth_prediction/predictors/
+depth_anything_v2.py:21-157): vits/b/l/g configs, metric (Hypersim indoor /
+VKITTI outdoor) or relative mode where the network outputs disparity and the
+pipeline uses 1/(d+1e-6). Inference is batched + jitted (pjit data-parallel
+over images), unlike the reference's serial per-image loop.
+
+Checkpoints: this environment has no network egress, so weights must be
+present locally (GS_TPU_CHECKPOINT_DIR or ~/.cache/gs_init_tpu). Without
+them the model runs randomly initialized — fine for pipeline/shape tests,
+clearly warned for real runs. ``convert_torch_checkpoint`` maps the official
+DA-V2 state_dict onto the Flax modules.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...models.dpt import DPT_CONFIGS, DPTHead
+from ...models.vit import VIT_CONFIGS, DinoViT
+from .interface import PredictedDepth
+
+_LOGGER = logging.getLogger(__name__)
+
+_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+MAX_DEPTH = {"indoor": 20.0, "outdoor": 80.0}
+
+
+class DepthAnythingV2Net(nn.Module):
+    backbone: str = "vits"
+    metric: bool = False
+    max_depth: float = 20.0
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, H, W, 3] normalized, H/W multiples of 14 -> [B, H, W]."""
+        vit_cfg = VIT_CONFIGS[self.backbone]
+        feats, _ = DinoViT(
+            dim=vit_cfg["dim"],
+            depth=vit_cfg["depth"],
+            num_heads=vit_cfg["num_heads"],
+            out_layers=vit_cfg["out_layers"],
+            name="pretrained",
+        )(x)
+        ph, pw = x.shape[1] // 14, x.shape[2] // 14
+        dpt_cfg = DPT_CONFIGS[self.backbone]
+        return DPTHead(
+            features=dpt_cfg["features"],
+            out_channels=dpt_cfg["out_channels"],
+            metric=self.metric,
+            max_depth=self.max_depth,
+            name="depth_head",
+        )(feats, (ph, pw))
+
+
+def _ckpt_candidates(backbone: str, metric: bool, variant: str):
+    names = []
+    if metric:
+        ds = "hypersim" if variant == "indoor" else "vkitti"
+        names.append(f"depth_anything_v2_metric_{ds}_{backbone}.pth")
+    names.append(f"depth_anything_v2_{backbone}.pth")
+    dirs = [
+        os.environ.get("GS_TPU_CHECKPOINT_DIR", ""),
+        os.path.expanduser("~/.cache/gs_init_tpu"),
+        "checkpoints",
+    ]
+    for d in dirs:
+        if not d:
+            continue
+        for n in names:
+            p = os.path.join(d, n)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def convert_torch_checkpoint(state_dict, backbone: str) -> dict:
+    """Map the official DA-V2 torch state_dict to Flax params."""
+    sd = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in state_dict.items()
+    }
+    p = {}
+
+    def put(path, v):
+        d = p
+        parts = path.split("/")
+        for k in parts[:-1]:
+            d = d.setdefault(k, {})
+        d[parts[-1]] = jnp.asarray(v)
+
+    vit = VIT_CONFIGS[backbone]
+    pre = "pretrained"
+    put(f"{pre}/cls_token", sd[f"{pre}.cls_token"])
+    put(f"{pre}/pos_embed", sd[f"{pre}.pos_embed"])
+    # patch embed: torch conv OIHW -> flax HWIO
+    put(
+        f"{pre}/patch_embed/kernel",
+        sd[f"{pre}.patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+    )
+    put(f"{pre}/patch_embed/bias", sd[f"{pre}.patch_embed.proj.bias"])
+    for i in range(vit["depth"]):
+        b = f"{pre}.blocks.{i}"
+        fb = f"{pre}/blocks_{i}"
+        put(f"{fb}/norm1/scale", sd[f"{b}.norm1.weight"])
+        put(f"{fb}/norm1/bias", sd[f"{b}.norm1.bias"])
+        put(f"{fb}/norm2/scale", sd[f"{b}.norm2.weight"])
+        put(f"{fb}/norm2/bias", sd[f"{b}.norm2.bias"])
+        put(f"{fb}/attn/qkv/kernel", sd[f"{b}.attn.qkv.weight"].T)
+        put(f"{fb}/attn/qkv/bias", sd[f"{b}.attn.qkv.bias"])
+        put(f"{fb}/attn/proj/kernel", sd[f"{b}.attn.proj.weight"].T)
+        put(f"{fb}/attn/proj/bias", sd[f"{b}.attn.proj.bias"])
+        put(f"{fb}/mlp/fc1/kernel", sd[f"{b}.mlp.fc1.weight"].T)
+        put(f"{fb}/mlp/fc1/bias", sd[f"{b}.mlp.fc1.bias"])
+        put(f"{fb}/mlp/fc2/kernel", sd[f"{b}.mlp.fc2.weight"].T)
+        put(f"{fb}/mlp/fc2/bias", sd[f"{b}.mlp.fc2.bias"])
+        put(f"{fb}/ls1/gamma", sd[f"{b}.ls1.gamma"])
+        put(f"{fb}/ls2/gamma", sd[f"{b}.ls2.gamma"])
+    put(f"{pre}/norm/scale", sd[f"{pre}.norm.weight"])
+    put(f"{pre}/norm/bias", sd[f"{pre}.norm.bias"])
+
+    dh = "depth_head"
+
+    def conv(dst, src, transpose_conv=False):
+        wkey = f"{src}.weight"
+        w = sd[wkey]
+        if transpose_conv:
+            # torch ConvTranspose2d IOHW -> flax ConvTranspose HWIO
+            put(f"{dst}/kernel", w.transpose(2, 3, 0, 1))
+        else:
+            put(f"{dst}/kernel", w.transpose(2, 3, 1, 0))
+        if f"{src}.bias" in sd:
+            put(f"{dst}/bias", sd[f"{src}.bias"])
+
+    for i in range(4):
+        conv(f"{dh}/project_{i}", f"{dh}.projects.{i}")
+    conv(f"{dh}/resize_0", f"{dh}.resize_layers.0", transpose_conv=True)
+    conv(f"{dh}/resize_1", f"{dh}.resize_layers.1", transpose_conv=True)
+    conv(f"{dh}/resize_3", f"{dh}.resize_layers.3")
+    for i in range(4):
+        conv(f"{dh}/layer{i + 1}_rn", f"{dh}.scratch.layer{i + 1}_rn")
+    for i in range(1, 5):
+        rb = f"{dh}.scratch.refinenet{i}"
+        fb = f"{dh}/refinenet{i}"
+        if i != 4:  # refinenet4 has no skip input; its resConfUnit1 is unused
+            conv(f"{fb}/rcu1/conv1", f"{rb}.resConfUnit1.conv1")
+            conv(f"{fb}/rcu1/conv2", f"{rb}.resConfUnit1.conv2")
+        conv(f"{fb}/rcu2/conv1", f"{rb}.resConfUnit2.conv1")
+        conv(f"{fb}/rcu2/conv2", f"{rb}.resConfUnit2.conv2")
+        conv(f"{fb}/out_conv", f"{rb}.out_conv")
+    conv(f"{dh}/output_conv1", f"{dh}.scratch.output_conv1")
+    conv(f"{dh}/output_conv2_0", f"{dh}.scratch.output_conv2.0")
+    conv(f"{dh}/output_conv2_2", f"{dh}.scratch.output_conv2.2")
+    return {"params": p}
+
+
+class DepthAnythingV2Predictor:
+    name = "depth_anything_v2"
+
+    def __init__(
+        self,
+        backbone: str = "vits",
+        metric: bool = False,
+        variant: str = "indoor",
+        input_size: int = 518,
+        checkpoint: Optional[str] = None,
+    ):
+        self.backbone = backbone
+        self.metric = metric
+        self.input_size = input_size
+        self.net = DepthAnythingV2Net(
+            backbone=backbone,
+            metric=metric,
+            max_depth=MAX_DEPTH[variant],
+        )
+        ckpt = checkpoint or _ckpt_candidates(backbone, metric, variant)
+        if ckpt is not None:
+            import torch
+
+            sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+            if "model" in sd:
+                sd = sd["model"]
+            self.variables = convert_torch_checkpoint(sd, backbone)
+            _LOGGER.info("loaded DA-V2 checkpoint %s", ckpt)
+        else:
+            _LOGGER.warning(
+                "no DA-V2 checkpoint found (set GS_TPU_CHECKPOINT_DIR); "
+                "running with RANDOM weights — depth quality will be garbage"
+            )
+            dummy = jnp.zeros((1, 14 * 4, 14 * 4, 3))
+            self.variables = self.net.init(jax.random.PRNGKey(0), dummy)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _fwd(variables, x):
+            return self.net.apply(variables, x)
+
+        self._fwd = _fwd
+
+    def _net_size(self, h, w):
+        # keep-ratio: smaller side -> input_size, both multiples of 14.
+        scale = self.input_size / min(h, w)
+        nh = max(round(h * scale / 14) * 14, 14)
+        nw = max(round(w * scale / 14) * 14, 14)
+        return nh, nw
+
+    def predict_depth_batch(self, images: np.ndarray, intrinsics) -> list:
+        b, h, w = images.shape[:3]
+        nh, nw = self._net_size(h, w)
+        x = jax.image.resize(
+            jnp.asarray(images, jnp.float32), (b, nh, nw, 3), "bilinear"
+        )
+        x = (x - _MEAN) / _STD
+        out = self._fwd(self.variables, x)  # [B, nh, nw]
+        out = jax.image.resize(out, (b, h, w), "bilinear")
+        out = np.asarray(out)
+        preds = []
+        for i in range(b):
+            d = out[i]
+            if not self.metric:
+                # Relative models emit disparity; the reference converts to
+                # depth via 1/(d + 1e-6) (depth_anything_v2.py:139-149).
+                mask = d > 1e-4
+                d = 1.0 / (d + 1e-6)
+            else:
+                mask = d > 0
+            preds.append(
+                PredictedDepth(depth=d.astype(np.float32), mask=mask)
+            )
+        return preds
+
+    def predict_depth(self, image, intrinsics) -> PredictedDepth:
+        return self.predict_depth_batch(image[None], [intrinsics])[0]
