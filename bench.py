@@ -33,7 +33,12 @@ def main():
     )
     from gs_init_tpu.engine.params import GaussianState, init_from_points
     from gs_init_tpu.engine.strategy import default as dstrat
-    from gs_init_tpu.engine.train_step import Batch, make_train_step
+    from gs_init_tpu.engine.train_step import (
+        AuxParams,
+        Batch,
+        init_aux_opt,
+        make_train_step,
+    )
 
     width, height = 1296, 840
     n = 300_000
@@ -64,6 +69,8 @@ def main():
     adam = init_adam_state(gstate.params)
     acfg = make_adam_config(cfg, scene_scale=4.0)
     sstate = dstrat.init_state(cap)
+    aux = AuxParams()
+    aux_opt = init_aux_opt(aux)
     step_fn = make_train_step(cfg, acfg, width, height)
 
     c2w = look_at(np.array([0.0, 0.0, -8.0]), np.zeros(3))
@@ -82,9 +89,11 @@ def main():
     key = jax.random.PRNGKey(0)
     # Warmup: a host fetch is required to force compilation + execution on
     # relayed-TPU environments (block_until_ready can return early there).
-    g1, a1, s1, metrics = step_fn(gstate, adam, sstate, batch, jnp.int32(0), key)
-    float(metrics["loss"])
-    del g1, a1, s1
+    out = step_fn(
+        gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0), key
+    )
+    float(out[-1]["loss"])
+    del out
 
     # Time a closed 30-step chain with a single final scalar fetch: each
     # step's inputs depend on the previous step's outputs, so total wall time
@@ -93,8 +102,8 @@ def main():
     n_steps = 30
     t0 = time.perf_counter()
     for i in range(n_steps):
-        gstate, adam, sstate, metrics = step_fn(
-            gstate, adam, sstate, batch, jnp.int32(i + 1), key
+        gstate, adam, sstate, aux, aux_opt, metrics = step_fn(
+            gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(i + 1), key
         )
     loss = float(metrics["loss"])
     elapsed = time.perf_counter() - t0

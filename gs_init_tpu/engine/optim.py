@@ -26,6 +26,48 @@ class AdamState(NamedTuple):
     count: jnp.ndarray  # [] int32
 
 
+class SimpleAdamState(NamedTuple):
+    """Generic Adam state for auxiliary parameter groups (pose, appearance,
+    bilateral grids) — any pytree."""
+
+    mu: object
+    nu: object
+    count: jnp.ndarray
+
+
+def simple_adam_init(params) -> SimpleAdamState:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return SimpleAdamState(mu=zeros, nu=zeros, count=jnp.zeros((), jnp.int32))
+
+
+def simple_adam_update(
+    params,
+    grads,
+    state: SimpleAdamState,
+    lr,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+):
+    """AdamW-style update over an arbitrary pytree; returns (params, state)."""
+    count = state.count + 1
+    cf = count.astype(jnp.float32)
+    bc1 = 1.0 - b1**cf
+    bc2 = 1.0 - b2**cf
+    if weight_decay:
+        grads = jax.tree.map(lambda g, p: g + weight_decay * p, grads, params)
+    mu = jax.tree.map(lambda g, m: b1 * m + (1 - b1) * g, grads, state.mu)
+    nu = jax.tree.map(lambda g, v: b2 * v + (1 - b2) * g * g, grads, state.nu)
+    params = jax.tree.map(
+        lambda p, m, v: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps),
+        params,
+        mu,
+        nu,
+    )
+    return params, SimpleAdamState(mu=mu, nu=nu, count=count)
+
+
 class AdamConfig(NamedTuple):
     lrs: GaussianParams  # static per-leaf base learning rates
     b1: float

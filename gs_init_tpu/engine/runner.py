@@ -24,11 +24,18 @@ from ..config.config import to_dict
 from ..datasets.parser import Dataset, Parser
 from ..ops.render import rasterize
 from ..ops.ssim import psnr, ssim
+from .appearance import (
+    apply_pose_deltas,
+    color_correct,
+    init_appearance_params,
+    init_bilateral_grids,
+    init_pose_params,
+)
 from .optim import init_adam_state, make_adam_config
 from .params import GaussianState, init_from_points, init_random, num_alive
 from .strategy import default as dstrat
 from .strategy import mcmc as mcmc_strat
-from .train_step import Batch, make_train_step
+from .train_step import AuxParams, Batch, init_aux_opt, make_train_step
 
 
 class Runner:
@@ -63,6 +70,7 @@ class Runner:
         self.acfg = make_adam_config(cfg, self.scene_scale, cfg.batch_size)
         self.adam = init_adam_state(self.gstate.params)
         self._init_strategy()
+        self._init_aux()
         self.step_fn = make_train_step(cfg, self.acfg, self.width, self.height)
         self.key = jax.random.PRNGKey(cfg.seed)
         self.global_step = 0
@@ -118,6 +126,35 @@ class Runner:
                 rng=key,
             )
 
+    def _init_aux(self):
+        cfg = self.cfg
+        n_images = self.parser.num_images
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        pose = init_pose_params(n_images) if cfg.pose_opt else None
+        app = (
+            init_appearance_params(
+                key, n_images, cfg.max_gaussians,
+                embed_dim=cfg.app_embed_dim, sh_degree=cfg.sh_degree,
+            )
+            if cfg.app_opt
+            else None
+        )
+        grids = (
+            init_bilateral_grids(n_images, cfg.bilateral_grid_shape)
+            if cfg.use_bilateral_grid
+            else None
+        )
+        self.aux = AuxParams(pose=pose, app=app, grids=grids)
+        self.aux_opt = init_aux_opt(self.aux)
+        # Pose-noise fault injection (reference config.py:165-166,
+        # runner.py:241-245): fixed random SE3 perturbations on train poses.
+        self._pose_perturb = None
+        if cfg.pose_noise > 0:
+            k = jax.random.PRNGKey(cfg.seed + 2)
+            self._pose_perturb = init_pose_params(
+                n_images, std=cfg.pose_noise, key=k
+            )
+
     def _init_strategy(self):
         s = self.cfg.strategy
         if isinstance(s, DefaultStrategyConfig):
@@ -162,13 +199,15 @@ class Runner:
                 )
             ids.append(int(self._perm.pop()))
         items = [self.trainset[i] for i in ids]
+        c2ws = jnp.asarray(np.stack([it["camtoworld"] for it in items]))
+        iid = jnp.asarray(np.array([it["image_id"] for it in items]))
+        if self._pose_perturb is not None:
+            c2ws = apply_pose_deltas(c2ws, self._pose_perturb, iid)
         batch = Batch(
-            camtoworlds=jnp.asarray(
-                np.stack([it["camtoworld"] for it in items])
-            ),
+            camtoworlds=c2ws,
             Ks=jnp.asarray(np.stack([it["K"] for it in items])),
             pixels=jnp.asarray(np.stack([it["image"] for it in items])),
-            image_ids=jnp.asarray(np.array([it["image_id"] for it in items])),
+            image_ids=iid,
         )
         if cfg.depth_loss:
             m = max(len(it["depth_points"]) for it in items)
@@ -192,8 +231,12 @@ class Runner:
         cfg = self.cfg
         batch = self._next_batch()
         self.key, k = jax.random.split(self.key)
-        self.gstate, self.adam, self.sstate, metrics = self.step_fn(
-            self.gstate, self.adam, self.sstate, batch, jnp.int32(step), k
+        (
+            self.gstate, self.adam, self.sstate, self.aux, self.aux_opt,
+            metrics,
+        ) = self.step_fn(
+            self.gstate, self.adam, self.sstate, self.aux, self.aux_opt,
+            batch, jnp.int32(step), k,
         )
         s = cfg.strategy
         if self._strategy_kind == "default":
@@ -302,7 +345,7 @@ class Runner:
 
     def eval(self, step: int, stage: str = "val") -> Dict[str, float]:
         cfg = self.cfg
-        psnrs, ssims, times = [], [], []
+        psnrs, ssims, times, cc_psnrs = [], [], [], []
         os.makedirs(os.path.join(cfg.result_dir, "renders"), exist_ok=True)
         for i in range(len(self.valset)):
             item = self.valset[i]
@@ -317,6 +360,9 @@ class Runner:
             ssims.append(
                 float(ssim(jnp.asarray(color)[None], jnp.asarray(gt)[None]))
             )
+            if cfg.use_bilateral_grid:
+                cc = color_correct(jnp.asarray(color), jnp.asarray(gt))
+                cc_psnrs.append(float(psnr(cc, jnp.asarray(gt))))
             if i < 4:
                 import imageio.v2 as imageio
 
@@ -333,6 +379,8 @@ class Runner:
             ellipse_time=float(np.mean(times)) if times else 0.0,
             num_GS=int(num_alive(self.gstate)),
         )
+        if cc_psnrs:
+            stats["cc_psnr"] = float(np.mean(cc_psnrs))
         with open(
             os.path.join(cfg.result_dir, "stats", f"{stage}_step{step}.json"),
             "w",
@@ -396,6 +444,10 @@ class Runner:
         flat["adam_count"] = np.asarray(self.adam.count)
         for name in self.sstate._fields:
             flat[f"strategy/{name}"] = np.asarray(getattr(self.sstate, name))
+        # Aux parameter groups (pose/appearance/bilateral grid), flattened.
+        leaves, _ = jax.tree_util.tree_flatten(self.aux)
+        for i, leaf in enumerate(leaves):
+            flat[f"aux/{i}"] = np.asarray(leaf)
         np.savez(path, **flat)
         return path
 
@@ -419,6 +471,13 @@ class Runner:
                 for n in self.sstate._fields
             }
         )
+        leaves, treedef = jax.tree_util.tree_flatten(self.aux)
+        keys = [k for k in data.files if k.startswith("aux/")]
+        if len(keys) == len(leaves) and leaves:
+            new_leaves = [
+                jnp.asarray(data[f"aux/{i}"]) for i in range(len(leaves))
+            ]
+            self.aux = jax.tree_util.tree_unflatten(treedef, new_leaves)
         self.global_step = int(data["step"])
         return self.global_step
 

@@ -1,10 +1,17 @@
 """Functional jitted training step.
 
 The reference's hot loop (runner.py:424-709) is an imperative torch loop;
-here it is a pure function (params, opt, strategy stats, batch, step, rng) ->
-(params', opt', stats', metrics) compiled once by XLA. Host code (runner.py
-in this package) only does IO, logging, checkpointing and the (jitted but
+here it is a pure function (params, opt, strategy stats, aux modules, batch,
+step, rng) -> updated states + metrics compiled once by XLA. Host code
+(engine/runner.py) only does IO, logging, checkpointing and the (jitted but
 separate) densification calls on refine boundaries.
+
+Optional subsystems (all off by default, mirroring reference config):
+- pose optimization (cfg.pose_opt): per-image SE3 deltas on camtoworlds
+- appearance optimization (cfg.app_opt): embedding+feature MLP color path
+  (replaces SH color; sh0 acts as the base color logit, runner.py:327-338)
+- bilateral grid (cfg.use_bilateral_grid): per-view color affines + TV loss
+- sparse SfM depth loss (cfg.depth_loss)
 """
 from __future__ import annotations
 
@@ -17,7 +24,20 @@ import jax.numpy as jnp
 from ..ops.render import rasterize
 from ..ops.sh import num_sh_bases
 from ..ops.ssim import ssim
-from .optim import AdamConfig, AdamState, adam_update
+from .appearance import (
+    appearance_colors,
+    apply_pose_deltas,
+    slice_bilateral_grid,
+    total_variation_loss,
+)
+from .optim import (
+    AdamConfig,
+    AdamState,
+    SimpleAdamState,
+    adam_update,
+    simple_adam_init,
+    simple_adam_update,
+)
 from .params import GaussianParams, GaussianState
 from .strategy import default as default_strategy
 
@@ -30,6 +50,28 @@ class Batch(NamedTuple):
     # Optional sparse depth supervision (cfg.depth_loss):
     depth_points: Optional[jnp.ndarray] = None  # [B, M, 2] pixel coords
     depth_values: Optional[jnp.ndarray] = None  # [B, M] SfM depths (0 = pad)
+
+
+class AuxParams(NamedTuple):
+    """Optional per-image / appearance parameter groups (None = disabled)."""
+
+    pose: Optional[jnp.ndarray] = None  # [n_images, 9]
+    app: Optional[object] = None  # AppearanceParams
+    grids: Optional[jnp.ndarray] = None  # [n_images, L, H, W, 12]
+
+
+class AuxOptState(NamedTuple):
+    pose: Optional[SimpleAdamState] = None
+    app: Optional[SimpleAdamState] = None
+    grids: Optional[SimpleAdamState] = None
+
+
+def init_aux_opt(aux: AuxParams) -> AuxOptState:
+    return AuxOptState(
+        pose=simple_adam_init(aux.pose) if aux.pose is not None else None,
+        app=simple_adam_init(aux.app) if aux.app is not None else None,
+        grids=simple_adam_init(aux.grids) if aux.grids is not None else None,
+    )
 
 
 def sh_coeff_mask(step: jnp.ndarray, sh_degree: int, interval: int) -> jnp.ndarray:
@@ -45,7 +87,6 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
     """Build the jitted train step for a fixed image size."""
 
     rasterize_kw = dict(
-        sh_degree=cfg.sh_degree,
         near_plane=cfg.near_plane,
         far_plane=cfg.far_plane,
         rasterize_mode="antialiased" if cfg.antialiased else "classic",
@@ -57,46 +98,70 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
         render_mode="RGB+ED" if cfg.depth_loss else "RGB",
     )
 
-    def loss_fn(params: GaussianParams, dummy, alive, batch: Batch, step, key):
+    def loss_fn(
+        params: GaussianParams, dummy, aux: AuxParams, alive, batch: Batch,
+        step, key,
+    ):
         scales, opacities = params.activated()
-        sh = params.sh_coeffs()
-        mask = sh_coeff_mask(step, cfg.sh_degree, cfg.sh_degree_interval)
-        sh = sh.at[:, 1:, :].multiply(mask[None, :, None])
-        viewmats = jnp.linalg.inv(batch.camtoworlds)
+        c2w = batch.camtoworlds
+        if cfg.pose_opt and aux.pose is not None:
+            c2w = apply_pose_deltas(c2w, aux.pose, batch.image_ids)
+        viewmats = jnp.linalg.inv(c2w)
 
         bkgd = None
         if cfg.random_bkgd:
             bkgd = jax.random.uniform(key, (batch.pixels.shape[0], 3))
+
+        if cfg.app_opt and aux.app is not None:
+            centers = c2w[:, :3, 3]
+            dirs = params.means[None, :, :] - centers[:, None, :]
+            active_deg = jnp.minimum(
+                step // cfg.sh_degree_interval, cfg.sh_degree
+            )
+            resid = appearance_colors(
+                aux.app, batch.image_ids, dirs, active_deg, cfg.sh_degree
+            )
+            colors = jax.nn.sigmoid(resid + params.sh0[None, :, 0, :])
+            sh_degree_arg = None
+        else:
+            sh = params.sh_coeffs()
+            mask = sh_coeff_mask(step, cfg.sh_degree, cfg.sh_degree_interval)
+            colors = sh.at[:, 1:, :].multiply(mask[None, :, None])
+            sh_degree_arg = cfg.sh_degree
 
         render, alpha, info = rasterize(
             params.means,
             params.quats,
             scales,
             opacities,
-            sh,
+            colors,
             viewmats,
             batch.Ks,
             width,
             height,
+            sh_degree=sh_degree_arg,
             backgrounds=bkgd,
             alive=alive,
             means2d_dummy=dummy,
             **rasterize_kw,
         )
-        colors = render[..., :3]
+        rendered = render[..., :3]
+        if cfg.use_bilateral_grid and aux.grids is not None:
+            rendered = slice_bilateral_grid(
+                aux.grids, rendered, batch.image_ids
+            )
         if cfg.random_bkgd:
             pixels = batch.pixels + (1.0 - alpha) * bkgd[:, None, None, :]
         else:
             pixels = batch.pixels
 
-        l1 = jnp.mean(jnp.abs(colors - pixels))
-        ssim_val = ssim(colors, pixels)
+        l1 = jnp.mean(jnp.abs(rendered - pixels))
+        ssim_val = ssim(rendered, pixels)
         loss = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * (1.0 - ssim_val)
 
         if cfg.depth_loss and batch.depth_points is not None:
             # Sparse disparity loss against SfM depths (reference
-            # runner.py:516-528): bilinear-free nearest sampling of the ED
-            # channel at projected SfM pixels.
+            # runner.py:516-528).
             depth = render[..., 3]
             pts = batch.depth_points.astype(jnp.int32)
             b_idx = jnp.arange(depth.shape[0])[:, None]
@@ -107,8 +172,12 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
                 valid, 1.0 / jnp.maximum(batch.depth_values, 1e-6), 0.0
             )
             nvalid = jnp.maximum(jnp.sum(valid), 1)
-            depthloss = jnp.sum(jnp.abs(disp - disp_gt)) / nvalid
-            loss = loss + cfg.depth_lambda * depthloss
+            loss = loss + cfg.depth_lambda * (
+                jnp.sum(jnp.abs(disp - disp_gt)) / nvalid
+            )
+
+        if cfg.use_bilateral_grid and aux.grids is not None:
+            loss = loss + cfg.tv_lambda * total_variation_loss(aux.grids)
 
         if cfg.opacity_reg > 0.0:
             loss = loss + cfg.opacity_reg * jnp.mean(
@@ -119,20 +188,22 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
                 jnp.where(alive[:, None], jnp.abs(scales), 0.0)
             )
 
-        aux = dict(
+        auxd = dict(
             l1=l1,
             ssim=ssim_val,
             radii=info.radii,
             overflow=info.overflow,
             alpha_mean=jnp.mean(alpha),
         )
-        return loss, aux
+        return loss, auxd
 
     @jax.jit
     def train_step(
         gstate: GaussianState,
         adam: AdamState,
         sstate,
+        aux: AuxParams,
+        aux_opt: AuxOptState,
         batch: Batch,
         step: jnp.ndarray,
         key: jax.Array,
@@ -140,21 +211,44 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
         dummy = jnp.zeros(
             (batch.pixels.shape[0], gstate.params.capacity, 2), jnp.float32
         )
-        (loss, aux), (grads, dgrads) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(gstate.params, dummy, gstate.alive, batch, step, key)
+        (loss, auxd), (grads, dgrads, agrads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(gstate.params, dummy, aux, gstate.alive, batch, step, key)
 
         params, adam = adam_update(gstate.params, grads, adam, acfg, step)
+
+        decay = acfg.means_decay_gamma ** step.astype(jnp.float32)
+        new_aux, new_opt = {}, {}
+        if aux.pose is not None:
+            p, s = simple_adam_update(
+                aux.pose, agrads.pose, aux_opt.pose,
+                lr=cfg.pose_opt_lr * decay, weight_decay=cfg.pose_opt_reg,
+            )
+            new_aux["pose"], new_opt["pose"] = p, s
+        if aux.app is not None:
+            p, s = simple_adam_update(
+                aux.app, agrads.app, aux_opt.app,
+                lr=cfg.app_opt_lr, weight_decay=cfg.app_opt_reg,
+            )
+            new_aux["app"], new_opt["app"] = p, s
+        if aux.grids is not None:
+            p, s = simple_adam_update(
+                aux.grids, agrads.grids, aux_opt.grids, lr=2e-3
+            )
+            new_aux["grids"], new_opt["grids"] = p, s
+        aux = aux._replace(**new_aux)
+        aux_opt = aux_opt._replace(**new_opt)
+
         sstate = default_strategy.update_state(
-            sstate, dgrads, aux["radii"], width, height
+            sstate, dgrads, auxd["radii"], width, height
         )
         metrics = dict(
             loss=loss,
-            l1=aux["l1"],
-            ssim=aux["ssim"],
-            overflow=aux["overflow"],
-            alpha_mean=aux["alpha_mean"],
+            l1=auxd["l1"],
+            ssim=auxd["ssim"],
+            overflow=auxd["overflow"],
+            alpha_mean=auxd["alpha_mean"],
         )
-        return gstate._replace(params=params), adam, sstate, metrics
+        return gstate._replace(params=params), adam, sstate, aux, aux_opt, metrics
 
     return train_step

@@ -1,0 +1,154 @@
+"""Pose / appearance / bilateral-grid optimization subsystems."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gs_init_tpu.config import Config, DefaultStrategyConfig
+from gs_init_tpu.datasets.synthetic import make_scene
+from gs_init_tpu.engine.appearance import (
+    appearance_colors,
+    apply_pose_deltas,
+    color_correct,
+    init_appearance_params,
+    init_bilateral_grids,
+    init_pose_params,
+    rotation_6d_to_matrix,
+    slice_bilateral_grid,
+    total_variation_loss,
+)
+
+
+def test_rotation_6d_identity():
+    r = rotation_6d_to_matrix(jnp.array([1.0, 0, 0, 0, 1.0, 0]))
+    np.testing.assert_allclose(r, np.eye(3), atol=1e-6)
+
+
+def test_rotation_6d_orthonormal(rng):
+    d6 = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+    r = rotation_6d_to_matrix(d6)
+    eye = jnp.einsum("nij,nkj->nik", r, r)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (16, 3, 3)), atol=1e-5)
+    assert np.allclose(np.linalg.det(np.asarray(r)), 1.0, atol=1e-5)
+
+
+def test_apply_pose_deltas_zero_is_identity(rng):
+    c2w = jnp.asarray(rng.normal(size=(3, 4, 4)), jnp.float32)
+    params = init_pose_params(5)
+    out = apply_pose_deltas(c2w, params, jnp.array([0, 2, 4]))
+    np.testing.assert_allclose(out, c2w, atol=1e-6)
+
+
+def test_bilateral_grid_identity_init(rng):
+    grids = init_bilateral_grids(3, (8, 8, 4))
+    rgb = jnp.asarray(rng.uniform(0, 1, (2, 16, 20, 3)), jnp.float32)
+    out = slice_bilateral_grid(grids, rgb, jnp.array([0, 2]))
+    np.testing.assert_allclose(out, rgb, atol=1e-5)
+    assert float(total_variation_loss(grids)) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_bilateral_grid_learns_exposure(rng):
+    """A global gain on one image is absorbable by its grid via gradient."""
+    grids = init_bilateral_grids(1, (8, 8, 4))
+    rgb = jnp.asarray(rng.uniform(0.2, 0.8, (1, 16, 16, 3)), jnp.float32)
+    target = jnp.clip(rgb * 1.3, 0, 1)
+
+    def loss(g):
+        return jnp.mean((slice_bilateral_grid(g, rgb, jnp.array([0])) - target) ** 2)
+
+    l0 = float(loss(grids))
+    step = jax.jit(lambda g: g - 20.0 * jax.grad(loss)(g))
+    for _ in range(150):
+        grids = step(grids)
+    assert float(loss(grids)) < l0 * 0.1
+
+
+def test_color_correct_fixes_affine_shift(rng):
+    ref = jnp.asarray(rng.uniform(0, 1, (24, 24, 3)), jnp.float32)
+    img = jnp.clip(0.7 * ref + 0.1, 0, 1)
+    from gs_init_tpu.ops.ssim import psnr
+
+    corrected = color_correct(img, ref)
+    assert float(psnr(corrected, ref)) > float(psnr(img, ref)) + 5
+
+
+def test_appearance_colors_shapes(rng):
+    params = init_appearance_params(jax.random.PRNGKey(0), 4, 32, sh_degree=2)
+    dirs = jnp.asarray(rng.normal(size=(2, 32, 3)), jnp.float32)
+    out = appearance_colors(params, jnp.array([0, 3]), dirs, jnp.int32(1), 2)
+    assert out.shape == (2, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def _train(cfg_kwargs, scene, steps=120, pose_noise=0.0):
+    from gs_init_tpu.engine.optim import init_adam_state, make_adam_config
+    from gs_init_tpu.engine.params import init_from_points
+    from gs_init_tpu.engine.strategy import default as dstrat
+    from gs_init_tpu.engine.train_step import (
+        AuxParams,
+        Batch,
+        init_aux_opt,
+        make_train_step,
+    )
+
+    cfg = Config(
+        max_steps=steps, sh_degree=1, max_gaussians=128,
+        pair_capacity=1 << 13, rasterizer_impl="xla",
+        strategy=DefaultStrategyConfig(refine_start_iter=10**9),
+        **cfg_kwargs,
+    )
+    gstate = init_from_points(
+        jnp.asarray(scene.points), jnp.asarray(scene.rgbs), 128, cfg.sh_degree
+    )
+    adam = init_adam_state(gstate.params)
+    acfg = make_adam_config(cfg, scene.scene_scale)
+    sstate = dstrat.init_state(128)
+    n_imgs = len(scene.camtoworlds)
+    aux = AuxParams(
+        pose=init_pose_params(n_imgs) if cfg.pose_opt else None,
+        app=init_appearance_params(
+            jax.random.PRNGKey(1), n_imgs, 128, sh_degree=cfg.sh_degree
+        )
+        if cfg.app_opt
+        else None,
+        grids=init_bilateral_grids(n_imgs) if cfg.use_bilateral_grid else None,
+    )
+    aux_opt = init_aux_opt(aux)
+    step_fn = make_train_step(cfg, acfg, scene.width, scene.height)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for step in range(steps):
+        key, k = jax.random.split(key)
+        ci = step % n_imgs
+        batch = Batch(
+            camtoworlds=jnp.asarray(scene.camtoworlds[ci : ci + 1]),
+            Ks=jnp.asarray(scene.Ks[ci : ci + 1]),
+            pixels=jnp.asarray(scene.images[ci : ci + 1]),
+            image_ids=jnp.asarray([ci]),
+        )
+        gstate, adam, sstate, aux, aux_opt, m = step_fn(
+            gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(step), k
+        )
+        losses.append(float(m["loss"]))
+    return losses, aux
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(pose_opt=True, pose_opt_lr=1e-3),
+        dict(app_opt=True),
+        dict(use_bilateral_grid=True, tv_lambda=1.0),
+    ],
+)
+def test_aux_subsystems_train(kw):
+    scene = make_scene(n_gaussians=48, n_cams=4, width=32, height=24)
+    losses, aux = _train(kw, scene, steps=60)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    if kw.get("pose_opt"):
+        assert float(jnp.abs(aux.pose).sum()) > 0  # embeddings moved
+    if kw.get("app_opt"):
+        assert float(jnp.abs(aux.app.embeds).sum()) > 0
+    if kw.get("use_bilateral_grid"):
+        assert aux.grids is not None

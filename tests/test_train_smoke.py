@@ -8,7 +8,12 @@ from gs_init_tpu.datasets.synthetic import make_scene
 from gs_init_tpu.engine.optim import init_adam_state, make_adam_config
 from gs_init_tpu.engine.params import init_from_points, num_alive
 from gs_init_tpu.engine.strategy import default as dstrat
-from gs_init_tpu.engine.train_step import Batch, make_train_step
+from gs_init_tpu.engine.train_step import (
+    AuxParams,
+    Batch,
+    init_aux_opt,
+    make_train_step,
+)
 from gs_init_tpu.ops.render import rasterize
 from gs_init_tpu.ops.ssim import psnr
 
@@ -57,6 +62,8 @@ def test_training_improves_psnr(rng):
     adam = init_adam_state(gstate.params)
     acfg = make_adam_config(cfg, scene.scene_scale)
     sstate = dstrat.init_state(cfg.max_gaussians)
+    aux = AuxParams()
+    aux_opt = init_aux_opt(aux)
     step_fn = make_train_step(cfg, acfg, scene.width, scene.height)
 
     psnr0 = _eval_psnr(cfg, gstate, scene)
@@ -74,8 +81,8 @@ def test_training_improves_psnr(rng):
             pixels=jnp.asarray(scene.images[ci : ci + 1]),
             image_ids=jnp.asarray([ci]),
         )
-        gstate, adam, sstate, metrics = step_fn(
-            gstate, adam, sstate, batch, jnp.int32(step), k2
+        gstate, adam, sstate, aux, aux_opt, metrics = step_fn(
+            gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(step), k2
         )
         losses.append(float(metrics["loss"]))
         s = cfg.strategy
