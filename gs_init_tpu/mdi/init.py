@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .points_from_depth import points_from_depth
+from .alignment.pipeline import align_depth
+from .points_from_depth import (
+    masks_and_unproject,
+    points_from_depth,
+    project_sfm_points,
+)
 from .postprocess import postprocess_point_cloud
 from .predictors.interface import CameraIntrinsics, pick_model
 
@@ -119,17 +124,7 @@ def pts_and_rgb_from_monocular_depth(
             valid[:k] = True
 
             key, sk = jax.random.split(key)
-            out = points_from_depth(
-                jnp.asarray(depth, jnp.float32),
-                jnp.asarray(mask),
-                jnp.asarray(it["camtoworld"], jnp.float32),
-                jnp.asarray(it["K"], jnp.float32),
-                jnp.asarray(sfm),
-                jnp.asarray(valid),
-                sk,
-                width=w,
-                height=h,
-                align_method=mdi.alignment.method,
+            subsample_kw = dict(
                 subsample_method=mdi.subsampling.method,
                 subsample_factor=mdi.subsampling.factor,
                 min_stride=mdi.subsampling.adaptive.min_stride,
@@ -137,20 +132,70 @@ def pts_and_rgb_from_monocular_depth(
                 use_grad_mask=mdi.depth_gradient_mask,
                 grad_threshold=mdi.depth_gradient_threshold,
                 use_sfm_density_mask=mdi.subsampling.sfm_mask.enabled,
-                ransac_iters=mdi.alignment.ransac.max_iterations,
-                ransac_threshold=mdi.alignment.ransac.inlier_threshold,
-                sample_size=mdi.alignment.ransac.sample_size,
             )
-            if float(out.valid_sfm_fraction) < mdi.alignment.min_valid_sfm_fraction:
-                n_skipped += 1
-                _LOGGER.warning(
-                    "skipping %s: only %.0f%% of SfM points reproject validly",
-                    it["image_name"],
-                    100 * float(out.valid_sfm_fraction),
+            use_pipeline = (
+                mdi.alignment.segmentation.method is not None
+                or mdi.alignment.method == "interpolate"
+            )
+            if use_pipeline:
+                # Host-orchestrated path: segmentation / interpolated scale
+                # map, then the jitted mask+unprojection tail.
+                viewmat = jnp.linalg.inv(jnp.asarray(it["camtoworld"], jnp.float32))
+                pix, gt_z, ok = project_sfm_points(
+                    jnp.asarray(sfm), jnp.asarray(valid), viewmat,
+                    jnp.asarray(it["K"], jnp.float32), w, h,
                 )
-                continue
-            m = np.asarray(out.mask)
-            pts = np.asarray(out.pts_world)[m]
+                frac = float(jnp.sum(ok)) / max(int(valid.sum()), 1)
+                if frac < mdi.alignment.min_valid_sfm_fraction:
+                    n_skipped += 1
+                    _LOGGER.warning(
+                        "skipping %s: only %.0f%% of SfM points valid",
+                        it["image_name"], 100 * frac,
+                    )
+                    continue
+                aligned, amask = align_depth(
+                    np.asarray(depth, np.float32), np.asarray(mask),
+                    np.asarray(pix), np.asarray(gt_z), np.asarray(ok),
+                    sk, mdi.alignment,
+                )
+                world, m = masks_and_unproject(
+                    jnp.asarray(aligned), jnp.asarray(amask),
+                    jnp.asarray(it["camtoworld"], jnp.float32),
+                    jnp.asarray(it["K"], jnp.float32),
+                    pix, ok, width=w, height=h, **subsample_kw,
+                )
+                m = np.asarray(m)
+                pts = np.asarray(world)[m]
+            else:
+                out = points_from_depth(
+                    jnp.asarray(depth, jnp.float32),
+                    jnp.asarray(mask),
+                    jnp.asarray(it["camtoworld"], jnp.float32),
+                    jnp.asarray(it["K"], jnp.float32),
+                    jnp.asarray(sfm),
+                    jnp.asarray(valid),
+                    sk,
+                    width=w,
+                    height=h,
+                    align_method=mdi.alignment.method,
+                    ransac_iters=mdi.alignment.ransac.max_iterations,
+                    ransac_threshold=mdi.alignment.ransac.inlier_threshold,
+                    sample_size=mdi.alignment.ransac.sample_size,
+                    **subsample_kw,
+                )
+                if (
+                    float(out.valid_sfm_fraction)
+                    < mdi.alignment.min_valid_sfm_fraction
+                ):
+                    n_skipped += 1
+                    _LOGGER.warning(
+                        "skipping %s: only %.0f%% of SfM points valid",
+                        it["image_name"],
+                        100 * float(out.valid_sfm_fraction),
+                    )
+                    continue
+                m = np.asarray(out.mask)
+                pts = np.asarray(out.pts_world)[m]
             rgb = it["image"].reshape(-1, 3)[m]
             if mdi.noise_frac > 0:
                 pts = pts + rng.normal(

@@ -137,6 +137,26 @@ def points_from_depth(
     else:
         raise ValueError(f"unknown alignment {align_method!r}")
 
+    mask = _combine_masks(
+        aligned, pred_mask, pix, ok, width, height,
+        subsample_method, subsample_factor, min_stride, max_stride,
+        use_grad_mask, grad_threshold, use_sfm_density_mask,
+    )
+    world = _unproject(aligned, camtoworld, K, width, height)
+    return PointsFromDepth(
+        pts_world=world,
+        mask=mask.reshape(-1),
+        valid_sfm_fraction=valid_fraction,
+        scale=jnp.asarray(s),
+        shift=jnp.asarray(t),
+    )
+
+
+def _combine_masks(
+    aligned, pred_mask, pix, ok, width, height,
+    subsample_method, subsample_factor, min_stride, max_stride,
+    use_grad_mask, grad_threshold, use_sfm_density_mask,
+):
     mask = pred_mask & (aligned >= 0)
     if use_grad_mask:
         mask = mask & depth_gradient_mask(aligned, grad_threshold)
@@ -148,9 +168,11 @@ def points_from_depth(
         sub = adaptive_mask(aligned, pred_mask, min_stride, max_stride)
     else:
         raise ValueError(f"unknown subsampling {subsample_method!r}")
-    mask = mask & sub
+    return mask & sub
 
-    # Unproject every pixel (masked on the host): (u+.5, v+.5, 1) * z.
+
+def _unproject(aligned, camtoworld, K, width, height):
+    """(u+.5, v+.5, 1) * z -> K^-1 -> cam2world for every pixel."""
     ys = jnp.arange(height, dtype=jnp.float32)[:, None]
     xs = jnp.arange(width, dtype=jnp.float32)[None, :]
     z = aligned
@@ -158,12 +180,41 @@ def points_from_depth(
         [(xs + 0.5) * z, (ys + 0.5) * z, z], axis=-1
     ).reshape(-1, 3)
     cam = homo @ jnp.linalg.inv(K).T
-    world = cam @ camtoworld[:3, :3].T + camtoworld[:3, 3]
+    return cam @ camtoworld[:3, :3].T + camtoworld[:3, 3]
 
-    return PointsFromDepth(
-        pts_world=world,
-        mask=mask.reshape(-1),
-        valid_sfm_fraction=valid_fraction,
-        scale=jnp.asarray(s),
-        shift=jnp.asarray(t),
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "subsample_method", "subsample_factor",
+        "min_stride", "max_stride", "use_grad_mask", "grad_threshold",
+        "use_sfm_density_mask",
+    ),
+)
+def masks_and_unproject(
+    aligned: jnp.ndarray,  # [H, W] host-aligned depth (pipeline path)
+    align_mask: jnp.ndarray,  # [H, W] validity from the alignment pipeline
+    camtoworld: jnp.ndarray,
+    K: jnp.ndarray,
+    sfm_pix: jnp.ndarray,  # [M, 2]
+    sfm_ok: jnp.ndarray,  # [M]
+    *,
+    width: int,
+    height: int,
+    subsample_method: str = "static",
+    subsample_factor: int = 10,
+    min_stride: int = 5,
+    max_stride: int = 15,
+    use_grad_mask: bool = False,
+    grad_threshold: float = 0.1,
+    use_sfm_density_mask: bool = False,
+):
+    """Jitted tail of the pipeline path (segmentation / interpolated scale):
+    mask combination + unprojection for an already-aligned depth map."""
+    mask = _combine_masks(
+        aligned, align_mask, sfm_pix, sfm_ok, width, height,
+        subsample_method, subsample_factor, min_stride, max_stride,
+        use_grad_mask, grad_threshold, use_sfm_density_mask,
     )
+    world = _unproject(aligned, camtoworld, K, width, height)
+    return world, mask.reshape(-1)
