@@ -345,7 +345,10 @@ class Runner:
 
     def eval(self, step: int, stage: str = "val") -> Dict[str, float]:
         cfg = self.cfg
-        psnrs, ssims, times, cc_psnrs = [], [], [], []
+        psnrs, ssims, times, cc_psnrs, lpipss = [], [], [], [], []
+        from ..ops.lpips import lpips_available
+
+        use_lpips = lpips_available()
         os.makedirs(os.path.join(cfg.result_dir, "renders"), exist_ok=True)
         for i in range(len(self.valset)):
             item = self.valset[i]
@@ -363,6 +366,12 @@ class Runner:
             if cfg.use_bilateral_grid:
                 cc = color_correct(jnp.asarray(color), jnp.asarray(gt))
                 cc_psnrs.append(float(psnr(cc, jnp.asarray(gt))))
+            if use_lpips:
+                from ..ops.lpips import lpips
+
+                lpipss.append(
+                    float(lpips(jnp.asarray(color)[None], jnp.asarray(gt)[None]))
+                )
             if i < 4:
                 import imageio.v2 as imageio
 
@@ -381,6 +390,8 @@ class Runner:
         )
         if cc_psnrs:
             stats["cc_psnr"] = float(np.mean(cc_psnrs))
+        if lpipss:
+            stats["lpips"] = float(np.mean(lpipss))
         with open(
             os.path.join(cfg.result_dir, "stats", f"{stage}_step{step}.json"),
             "w",
