@@ -125,9 +125,14 @@ def bin_gaussians(
         offsets, total, pair_capacity
     )
 
-    # One gather of the packed per-gaussian span table instead of four.
-    span_tbl = jnp.stack([x0, y0, x1 - x0 + 1, offsets], axis=1)
-    g = span_tbl[pair_gid]  # [CAP, 4]
+    # One gather of the packed per-gaussian table (span + depth key) instead
+    # of five: gathers dominate binning cost on TPU. Positive-depth float
+    # bits are monotone as int32 -> cheap sortable key packed alongside.
+    depth_bits = jax.lax.bitcast_convert_type(jnp.maximum(dep, 0.0), jnp.int32)
+    span_tbl = jnp.stack(
+        [x0, y0, x1 - x0 + 1, offsets, depth_bits], axis=1
+    )
+    g = span_tbl[pair_gid]  # [CAP, 5]
     idx = jnp.arange(pair_capacity, dtype=jnp.int32)
     local = idx - g[:, 3]
     tx = g[:, 0] + local % g[:, 2]
@@ -136,11 +141,7 @@ def bin_gaussians(
     tile = cam * tiles_per_cam + ty * ntx + tx
     tile = jnp.where(pair_valid, tile, num_tiles)  # sentinel sorts to the end
 
-    # Positive-depth float bits are monotone as int32 -> cheap sortable key.
-    depth_key = jax.lax.bitcast_convert_type(
-        jnp.maximum(dep[pair_gid], 0.0), jnp.int32
-    )
-    tile_s, _, gid_s = jax.lax.sort((tile, depth_key, pair_gid), num_keys=2)
+    tile_s, _, gid_s = jax.lax.sort((tile, g[:, 4], pair_gid), num_keys=2)
 
     starts = jnp.searchsorted(
         tile_s,
@@ -159,9 +160,12 @@ def bin_gaussians(
     slot_tile, _ = _segment_ids_from_offsets(astarts[:-1], astarts[-1], cap_pad)
     slot_tile = jnp.minimum(slot_tile, num_tiles - 1)
     slot = jnp.arange(cap_pad, dtype=jnp.int32)
-    off = slot - astarts[slot_tile]
-    aligned_valid = (off < tile_counts[slot_tile]) & (slot < astarts[-1])
-    src = jnp.clip(starts[slot_tile] + off, 0, pair_capacity - 1)
+    # One gather of the packed per-tile table instead of three.
+    tile_tbl = jnp.stack([astarts[:-1], tile_counts, starts[:-1]], axis=1)
+    tt = tile_tbl[slot_tile]  # [CAP_PAD, 3]
+    off = slot - tt[:, 0]
+    aligned_valid = (off < tt[:, 1]) & (slot < astarts[-1])
+    src = jnp.clip(tt[:, 2] + off, 0, pair_capacity - 1)
     pair_gid_a = jnp.where(aligned_valid, gid_s[src], 0)
 
     overflow = jnp.maximum(total - pair_capacity, 0).astype(jnp.int32) + (

@@ -9,7 +9,12 @@ from gs_init_tpu.datasets.synthetic import make_scene
 from gs_init_tpu.engine.optim import init_adam_state, make_adam_config
 from gs_init_tpu.engine.params import init_from_points
 from gs_init_tpu.engine.strategy import default as dstrat
-from gs_init_tpu.engine.train_step import Batch, make_train_step
+from gs_init_tpu.engine.train_step import (
+    AuxParams,
+    Batch,
+    init_aux_opt,
+    make_train_step,
+)
 from gs_init_tpu.parallel.shard import make_mesh, make_sharded_train_step, shardings
 
 
@@ -47,8 +52,12 @@ def test_sharded_step_matches_single_device(mesh_shape):
     key = jax.random.PRNGKey(0)
 
     # Single-device reference step.
+    aux = AuxParams()
+    aux_opt = init_aux_opt(aux)
     ref_step = make_train_step(cfg, acfg, scene.width, scene.height)
-    g1, a1, s1, m1 = ref_step(gstate, adam, sstate, batch, step, key)
+    g1, a1, s1, _, _, m1 = ref_step(
+        gstate, adam, sstate, aux, aux_opt, batch, step, key
+    )
 
     mesh = make_mesh(*mesh_shape)
     sh_step = make_sharded_train_step(cfg, acfg, scene.width, scene.height, mesh)
