@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Column layout of the packed per-pair array consumed by the Pallas kernel.
 PACK_MX, PACK_MY = 0, 1
@@ -49,6 +50,11 @@ class TileBinning(NamedTuple):
     num_tiles_x: int
     num_tiles_y: int
     overflow: jnp.ndarray  # [] int32: pairs dropped due to capacity
+    # Pre-sort bookkeeping for the gather-free pack backward (see pack_pairs):
+    pair_inv: jnp.ndarray  # [PAIR_CAP] presort pair -> aligned slot (CAP_PAD
+    #                         = dropped), int32
+    gauss_offsets: jnp.ndarray  # [C*N] exclusive prefix of per-gaussian pairs
+    gauss_counts: jnp.ndarray  # [C*N]
 
 
 def tile_spans(
@@ -141,7 +147,9 @@ def bin_gaussians(
     tile = cam * tiles_per_cam + ty * ntx + tx
     tile = jnp.where(pair_valid, tile, num_tiles)  # sentinel sorts to the end
 
-    tile_s, _, gid_s = jax.lax.sort((tile, g[:, 4], pair_gid), num_keys=2)
+    tile_s, _, gid_s, presort_s = jax.lax.sort(
+        (tile, g[:, 4], pair_gid, idx), num_keys=2
+    )
 
     starts = jnp.searchsorted(
         tile_s,
@@ -168,6 +176,16 @@ def bin_gaussians(
     src = jnp.clip(tt[:, 2] + off, 0, pair_capacity - 1)
     pair_gid_a = jnp.where(aligned_valid, gid_s[src], 0)
 
+    # Inverse permutation presort-pair -> aligned slot (CAP_PAD = dropped):
+    # enables the pack backward to reduce per-pair cotangents with a cumsum
+    # over the *contiguous* presort order instead of a scatter-add.
+    pair_presort = presort_s[src]
+    pair_inv = (
+        jnp.full((pair_capacity,), cap_pad, jnp.int32)
+        .at[jnp.where(aligned_valid, pair_presort, pair_capacity)]
+        .set(slot, mode="drop")
+    )
+
     overflow = jnp.maximum(total - pair_capacity, 0).astype(jnp.int32) + (
         jnp.maximum(astarts[-1] - cap_pad, 0)
     )
@@ -179,7 +197,64 @@ def bin_gaussians(
         num_tiles_x=ntx,
         num_tiles_y=nty,
         overflow=overflow,
+        pair_inv=pair_inv,
+        gauss_offsets=offsets,
+        gauss_counts=counts,
     )
+
+
+def _pack_impl(pair_gid, pair_valid, table):
+    rows = table[pair_gid].T  # [10, CAP_PAD]
+    rows = jnp.pad(rows, ((0, PACK_COLS - rows.shape[0]), (0, 0)))
+    # Zero attributes of invalid (overflow/padding) pairs so the kernel's
+    # chunk math is inert for them regardless of tile ranges.
+    return jnp.where(pair_valid[None, :], rows, 0.0)
+
+
+@jax.custom_vjp
+def _pack_from_table(pair_gid, pair_valid, pair_inv, offsets, counts, table):
+    return _pack_impl(pair_gid, pair_valid, table)
+
+
+def _pack_fwd(pair_gid, pair_valid, pair_inv, offsets, counts, table):
+    out = _pack_impl(pair_gid, pair_valid, table)
+    return out, (pair_inv, offsets, counts, table.shape)
+
+
+def _pack_bwd(res, ct):
+    """Segment-reduce per-pair cotangents to per-gaussian rows WITHOUT a
+    scatter-add: pairs of one gaussian are contiguous in presort order
+    ([offsets[g], offsets[g]+counts[g])), so gather the cotangents into
+    presort order via the precomputed inverse permutation, cumsum along
+    pairs, and difference at segment boundaries. XLA's scatter-add here is
+    ~10x slower (column-major strided) at garden scale."""
+    pair_inv, offsets, counts, tshape = res
+    pair_cap = pair_inv.shape[0]
+    ct10 = ct[:10]  # [10, CAP_PAD]
+    # Dropped pairs (inv == CAP_PAD) read zero.
+    dpre = jnp.take(ct10, pair_inv, axis=1, mode="fill", fill_value=0.0)
+    cum = jnp.cumsum(dpre, axis=1)  # [10, PAIR_CAP]
+    ends = jnp.clip(offsets + counts - 1, 0, pair_cap - 1)
+    hi = jnp.take(cum, ends, axis=1, mode="clip")
+    lo = jnp.where(
+        (offsets > 0)[None, :],
+        jnp.take(cum, jnp.maximum(offsets - 1, 0), axis=1, mode="clip"),
+        0.0,
+    )
+    seg = jnp.where((counts > 0)[None, :], hi - lo, 0.0)  # [10, C*N]
+    dtable = seg.T.reshape(tshape)
+    f0 = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
+    return (
+        f0((ct.shape[1],)),
+        f0((ct.shape[1],)),
+        f0((pair_cap,)),
+        f0(offsets.shape),
+        f0(counts.shape),
+        dtable,
+    )
+
+
+_pack_from_table.defvjp(_pack_fwd, _pack_bwd)
 
 
 def pack_pairs(
@@ -194,10 +269,9 @@ def pack_pairs(
 
     Attribute-major (transposed) so the kernel's chunked DMA slices the lane
     dimension at chunk-aligned offsets. The per-gaussian attribute table is
-    packed once ([C*N, 10]) and gathered with a single row-gather. Kept as a
-    separate differentiable function: its VJP (a segment-sum scatter-add back
-    to [C, N]) is generated by autodiff, so the Pallas compositor only has to
-    produce *per-pair* gradients.
+    packed once ([C*N, 10]) and gathered with a single row-gather; the
+    backward is a cumsum-based segment reduction over the contiguous presort
+    pair order (see _pack_bwd) rather than XLA's scatter-add.
     """
     c, n = opacities.shape
     table = jnp.concatenate(
@@ -210,8 +284,11 @@ def pack_pairs(
         ],
         axis=1,
     )  # [C*N, 10]
-    rows = table[binning.pair_gid].T  # [10, CAP_PAD]
-    rows = jnp.pad(rows, ((0, PACK_COLS - rows.shape[0]), (0, 0)))
-    # Zero attributes of invalid (overflow/padding) pairs so the kernel's
-    # chunk math is inert for them regardless of tile ranges.
-    return jnp.where(binning.pair_valid[None, :], rows, 0.0)
+    return _pack_from_table(
+        binning.pair_gid,
+        binning.pair_valid,
+        binning.pair_inv,
+        binning.gauss_offsets,
+        binning.gauss_counts,
+        table,
+    )
