@@ -107,15 +107,27 @@ def _fwd_kernel(
     out_ref[0] = jnp.zeros((OUT_ROWS, pixels), jnp.float32)
     ltri = _tri(chunk, strict_lower=True)
 
+    def dma(j, slot):
+        off = pl.multiple_of(start + j * chunk, chunk)
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(off, chunk)], buf.at[slot], sem.at[slot]
+        )
+
+    # Double-buffered pipeline: chunk i+1 streams in while i composites.
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
     def body(carry):
         i, tcur, _ = carry
-        off = pl.multiple_of(start + i * chunk, chunk)
-        cp = pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(off, chunk)], buf, sem
-        )
-        cp.start()
-        cp.wait()
-        d = jnp.transpose(buf[:])  # [chunk, PACK_COLS]
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+        dma(i, slot).wait()
+        d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS]
         alpha, _ = _alpha_terms(d, px, py, i, chunk, n)
         logs = jnp.log1p(-alpha)
         excl = jax.lax.dot_general(
@@ -142,6 +154,13 @@ def _fwd_kernel(
     i_end, tfin, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), tinit, jnp.bool_(True))
     )
+
+    # Early termination leaves the prefetched next chunk's DMA in flight;
+    # drain it so the semaphore is clean for the next grid step.
+    @pl.when(i_end < nchunks)
+    def _():
+        dma(i_end, jax.lax.rem(i_end, 2)).wait()
+
     out_ref[0, ROW_ACC, :] = 1.0 - tfin[0]
     out_ref[0, ROW_T, :] = tfin[0]
     out_ref[0, ROW_NPROC, :] = jnp.full((pixels,), 1.0, jnp.float32) * i_end.astype(
@@ -277,8 +296,8 @@ def _composite_fwd_call(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, OUT_ROWS, pixels), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((PACK_COLS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, PACK_COLS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
