@@ -63,7 +63,16 @@ def pick_model(cfg) -> DepthPredictor:
             metric=cfg.mdi.metric,
             variant=cfg.mdi.metric_variant,
         )
+    if name == "metric3d":
+        from .metric3d import Metric3DPredictor
+
+        backbone = cfg.mdi.backbone
+        if backbone.startswith("vit"):
+            backbone = {"vits": "small", "vitl": "large", "vitg": "giant"}.get(
+                backbone, "small"
+            )
+        return Metric3DPredictor(backbone=backbone)
     raise NotImplementedError(
         f"predictor {name!r} not yet available in the TPU build "
-        "(metric3d/moge/unidepth/depth_pro ports are tracked work)"
+        "(moge/unidepth/depth_pro ports are tracked work)"
     )

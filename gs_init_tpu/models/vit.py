@@ -131,15 +131,15 @@ class DinoViT(nn.Module):
         x = jnp.concatenate(tokens + [x], axis=1)
 
         n_prefix = 1 + self.num_register_tokens
-        outs, cls_outs = [], []
+        outs, prefix_outs = [], []
         final_norm = nn.LayerNorm(epsilon=1e-6, name="norm")
         for i in range(self.depth):
             x = Block(self.dim, self.num_heads, name=f"blocks_{i}")(x)
             if i in self.out_layers:
                 y = final_norm(x)
                 outs.append(y[:, n_prefix:].reshape(b, ph, pw, self.dim))
-                cls_outs.append(y[:, 0])
-        return outs, cls_outs
+                prefix_outs.append(y[:, :n_prefix])
+        return outs, prefix_outs
 
 
 VIT_CONFIGS = {

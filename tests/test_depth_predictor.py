@@ -13,10 +13,10 @@ def test_vit_shapes(rng):
                   pos_embed_size=37)
     x = jnp.asarray(rng.normal(size=(2, 28, 42, 3)), jnp.float32)
     vars_ = net.init(jax.random.PRNGKey(0), x)
-    feats, cls = net.apply(vars_, x)
-    assert len(feats) == 2 and len(cls) == 2
+    feats, prefix = net.apply(vars_, x)
+    assert len(feats) == 2 and len(prefix) == 2
     assert feats[0].shape == (2, 2, 3, 64)
-    assert cls[0].shape == (2, 64)
+    assert prefix[0].shape == (2, 1, 64)  # cls token (no registers here)
 
 
 def test_dav2_forward_shapes(rng):
@@ -150,3 +150,22 @@ def test_predictor_end_to_end(rng, monkeypatch, caplog):
         assert o.depth.shape == (40, 60)
         assert o.mask.shape == (40, 60)
         assert np.isfinite(o.depth[o.mask]).all()
+
+
+def test_metric3d_forward(rng):
+    """Structural: RAFT-DPT decoder produces full-res depth/conf/normals."""
+    from gs_init_tpu.mdi.predictors.metric3d import Metric3DPredictor
+    from gs_init_tpu.mdi.predictors.interface import CameraIntrinsics
+
+    pred = Metric3DPredictor(backbone="small")
+    imgs = rng.uniform(0, 1, (1, 30, 44, 3)).astype(np.float32)
+    intr = [CameraIntrinsics(fx=100.0, fy=100.0, cx=22.0, cy=15.0)]
+    outs = pred.predict_depth_batch(imgs, intr)
+    o = outs[0]
+    assert o.depth.shape == (30, 44)
+    assert o.normal.shape == (30, 44, 3)
+    assert np.isfinite(o.depth).all()
+    assert (o.depth >= 0).all() and (o.depth <= 300).all()
+    # normals unit-length
+    n = np.linalg.norm(o.normal, axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-3)
