@@ -135,8 +135,9 @@ def convert_torch_checkpoint(state_dict, backbone: str) -> dict:
         wkey = f"{src}.weight"
         w = sd[wkey]
         if transpose_conv:
-            # torch ConvTranspose2d IOHW -> flax ConvTranspose HWIO
-            put(f"{dst}/kernel", w.transpose(2, 3, 0, 1))
+            # torch ConvTranspose2d (IOHW, gradient-based) -> flax
+            # ConvTranspose (HWIO, fractionally-strided conv): spatial flip.
+            put(f"{dst}/kernel", w.transpose(2, 3, 0, 1)[::-1, ::-1].copy())
         else:
             put(f"{dst}/kernel", w.transpose(2, 3, 1, 0))
         if f"{src}.bias" in sd:

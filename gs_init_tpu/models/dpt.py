@@ -17,8 +17,28 @@ import jax.numpy as jnp
 
 
 def _resize(x, hw):
+    """Bilinear resize with align_corners=True — matches the torch
+    ``F.interpolate(..., align_corners=True)`` used throughout DPT heads
+    (jax.image.resize only offers half-pixel mapping)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, hw[0], hw[1], c), method="bilinear")
+    H, W = hw
+    if (H, W) == (h, w):
+        return x
+
+    def lerp_axis(arr, size_in, size_out, axis):
+        if size_in == 1:
+            reps = [1] * arr.ndim
+            reps[axis] = size_out
+            return jnp.tile(arr, reps)
+        pos = jnp.linspace(0.0, size_in - 1.0, size_out)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, size_in - 2)
+        f = (pos - lo).reshape([-1 if i == axis else 1 for i in range(arr.ndim)])
+        a = jnp.take(arr, lo, axis=axis)
+        b_ = jnp.take(arr, lo + 1, axis=axis)
+        return a * (1.0 - f) + b_ * f
+
+    x = lerp_axis(x, h, H, 1)
+    return lerp_axis(x, w, W, 2)
 
 
 class ResidualConvUnit(nn.Module):

@@ -30,6 +30,12 @@ import jax.numpy as jnp
 
 
 def _resize(x, hw, method="bilinear"):
+    if method == "bilinear":
+        # torch align_corners=True semantics (interpolate_float32 in the
+        # reference decoder).
+        from .dpt import _resize as _resize_ac
+
+        return _resize_ac(x, hw)
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, hw[0], hw[1], c), method=method)
 
