@@ -65,10 +65,14 @@ class DepthAnythingV2Net(nn.Module):
 
 def _ckpt_candidates(backbone: str, metric: bool, variant: str):
     names = []
+    size = {"vits": "small", "vitb": "base", "vitl": "large", "vitg": "giant"}[
+        backbone
+    ]
     if metric:
         ds = "hypersim" if variant == "indoor" else "vkitti"
         names.append(f"depth_anything_v2_metric_{ds}_{backbone}.pth")
     names.append(f"depth_anything_v2_{backbone}.pth")
+    names.append(f"depth_anything_v2_{size}_hf.safetensors")
     dirs = [
         os.environ.get("GS_TPU_CHECKPOINT_DIR", ""),
         os.path.expanduser("~/.cache/gs_init_tpu"),
@@ -165,6 +169,122 @@ def convert_torch_checkpoint(state_dict, backbone: str) -> dict:
     return {"params": p}
 
 
+def convert_hf_checkpoint(state_dict, backbone: str) -> dict:
+    """Map a HuggingFace ``DepthAnythingForDepthEstimation`` state_dict
+    (e.g. depth-anything/Depth-Anything-V2-Small-hf model.safetensors) onto
+    the Flax modules. Validated numerically against transformers in
+    tests/test_dav2_hf_parity.py."""
+    sd = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in state_dict.items()
+    }
+    p = {}
+
+    def put(path, v):
+        d = p
+        parts = path.split("/")
+        for k in parts[:-1]:
+            d = d.setdefault(k, {})
+        d[parts[-1]] = jnp.asarray(v)
+
+    vit = VIT_CONFIGS[backbone]
+    bb = "backbone"
+    put("pretrained/cls_token", sd[f"{bb}.embeddings.cls_token"])
+    put("pretrained/pos_embed", sd[f"{bb}.embeddings.position_embeddings"])
+    put(
+        "pretrained/patch_embed/kernel",
+        sd[f"{bb}.embeddings.patch_embeddings.projection.weight"].transpose(
+            2, 3, 1, 0
+        ),
+    )
+    put(
+        "pretrained/patch_embed/bias",
+        sd[f"{bb}.embeddings.patch_embeddings.projection.bias"],
+    )
+    for i in range(vit["depth"]):
+        b = f"{bb}.encoder.layer.{i}"
+        fb = f"pretrained/blocks_{i}"
+        put(f"{fb}/norm1/scale", sd[f"{b}.norm1.weight"])
+        put(f"{fb}/norm1/bias", sd[f"{b}.norm1.bias"])
+        put(f"{fb}/norm2/scale", sd[f"{b}.norm2.weight"])
+        put(f"{fb}/norm2/bias", sd[f"{b}.norm2.bias"])
+        qkv_w = np.concatenate(
+            [
+                sd[f"{b}.attention.attention.query.weight"],
+                sd[f"{b}.attention.attention.key.weight"],
+                sd[f"{b}.attention.attention.value.weight"],
+            ],
+            0,
+        )
+        qkv_b = np.concatenate(
+            [
+                sd[f"{b}.attention.attention.query.bias"],
+                sd[f"{b}.attention.attention.key.bias"],
+                sd[f"{b}.attention.attention.value.bias"],
+            ]
+        )
+        put(f"{fb}/attn/qkv/kernel", qkv_w.T)
+        put(f"{fb}/attn/qkv/bias", qkv_b)
+        put(f"{fb}/attn/proj/kernel", sd[f"{b}.attention.output.dense.weight"].T)
+        put(f"{fb}/attn/proj/bias", sd[f"{b}.attention.output.dense.bias"])
+        put(f"{fb}/mlp/fc1/kernel", sd[f"{b}.mlp.fc1.weight"].T)
+        put(f"{fb}/mlp/fc1/bias", sd[f"{b}.mlp.fc1.bias"])
+        put(f"{fb}/mlp/fc2/kernel", sd[f"{b}.mlp.fc2.weight"].T)
+        put(f"{fb}/mlp/fc2/bias", sd[f"{b}.mlp.fc2.bias"])
+        put(f"{fb}/ls1/gamma", sd[f"{b}.layer_scale1.lambda1"])
+        put(f"{fb}/ls2/gamma", sd[f"{b}.layer_scale2.lambda1"])
+    put("pretrained/norm/scale", sd[f"{bb}.layernorm.weight"])
+    put("pretrained/norm/bias", sd[f"{bb}.layernorm.bias"])
+
+    dh = "depth_head"
+
+    def conv(dst, src, transpose_conv=False):
+        w = sd[f"{src}.weight"]
+        if transpose_conv:
+            put(f"{dst}/kernel", w.transpose(2, 3, 0, 1)[::-1, ::-1].copy())
+        else:
+            put(f"{dst}/kernel", w.transpose(2, 3, 1, 0))
+        if f"{src}.bias" in sd:
+            put(f"{dst}/bias", sd[f"{src}.bias"])
+
+    for i in range(4):
+        conv(f"{dh}/project_{i}", f"neck.reassemble_stage.layers.{i}.projection")
+    conv(f"{dh}/resize_0", "neck.reassemble_stage.layers.0.resize", True)
+    conv(f"{dh}/resize_1", "neck.reassemble_stage.layers.1.resize", True)
+    conv(f"{dh}/resize_3", "neck.reassemble_stage.layers.3.resize")
+    for i in range(4):
+        conv(f"{dh}/layer{i + 1}_rn", f"neck.convs.{i}")
+    for i, rf in zip(range(4), [4, 3, 2, 1]):
+        hb = f"neck.fusion_stage.layers.{i}"
+        fb = f"{dh}/refinenet{rf}"
+        if rf != 4:
+            conv(f"{fb}/rcu1/conv1", f"{hb}.residual_layer1.convolution1")
+            conv(f"{fb}/rcu1/conv2", f"{hb}.residual_layer1.convolution2")
+        conv(f"{fb}/rcu2/conv1", f"{hb}.residual_layer2.convolution1")
+        conv(f"{fb}/rcu2/conv2", f"{hb}.residual_layer2.convolution2")
+        conv(f"{fb}/out_conv", f"{hb}.projection")
+    conv(f"{dh}/output_conv1", "head.conv1")
+    conv(f"{dh}/output_conv2_0", "head.conv2")
+    conv(f"{dh}/output_conv2_2", "head.conv3")
+    return {"params": p}
+
+
+def load_checkpoint_file(path: str) -> dict:
+    """Load a torch .pth/.pt or .safetensors state_dict."""
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return sd.get("model", sd)
+
+
 class DepthAnythingV2Predictor:
     name = "depth_anything_v2"
 
@@ -186,12 +306,11 @@ class DepthAnythingV2Predictor:
         )
         ckpt = checkpoint or _ckpt_candidates(backbone, metric, variant)
         if ckpt is not None:
-            import torch
-
-            sd = torch.load(ckpt, map_location="cpu", weights_only=True)
-            if "model" in sd:
-                sd = sd["model"]
-            self.variables = convert_torch_checkpoint(sd, backbone)
+            sd = load_checkpoint_file(ckpt)
+            if any(k.startswith("backbone.embeddings") for k in sd):
+                self.variables = convert_hf_checkpoint(sd, backbone)
+            else:
+                self.variables = convert_torch_checkpoint(sd, backbone)
             _LOGGER.info("loaded DA-V2 checkpoint %s", ckpt)
         else:
             _LOGGER.warning(
