@@ -85,6 +85,14 @@ def sh_coeff_mask(step: jnp.ndarray, sh_degree: int, interval: int) -> jnp.ndarr
 
 def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
     """Build the jitted train step for a fixed image size."""
+    from ..ops.tiles import padded_capacity, segment_reduce_pairs
+
+    use_absgrad = bool(getattr(cfg.strategy, "absgrad", False))
+    ntx = -(-width // cfg.tile_size)
+    nty = -(-height // cfg.tile_size)
+    cap_pad = padded_capacity(
+        cfg.pair_capacity, cfg.batch_size * ntx * nty, cfg.chunk_size
+    )
 
     rasterize_kw = dict(
         near_plane=cfg.near_plane,
@@ -99,8 +107,8 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
     )
 
     def loss_fn(
-        params: GaussianParams, dummy, aux: AuxParams, alive, batch: Batch,
-        step, key,
+        params: GaussianParams, dummy, pair_dummy, aux: AuxParams, alive,
+        batch: Batch, step, key,
     ):
         scales, opacities = params.activated()
         c2w = batch.camtoworlds
@@ -143,6 +151,7 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
             backgrounds=bkgd,
             alive=alive,
             means2d_dummy=dummy,
+            pair_dummy=pair_dummy,
             **rasterize_kw,
         )
         rendered = render[..., :3]
@@ -194,6 +203,7 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
             radii=info.radii,
             overflow=info.overflow,
             alpha_mean=jnp.mean(alpha),
+            binning=info.binning,
         )
         return loss, auxd
 
@@ -211,9 +221,12 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
         dummy = jnp.zeros(
             (batch.pixels.shape[0], gstate.params.capacity, 2), jnp.float32
         )
-        (loss, auxd), (grads, dgrads, agrads) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True
-        )(gstate.params, dummy, aux, gstate.alive, batch, step, key)
+        pair_dummy = (
+            jnp.zeros((2, cap_pad), jnp.float32) if use_absgrad else None
+        )
+        (loss, auxd), (grads, dgrads, pgrads, agrads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+        )(gstate.params, dummy, pair_dummy, aux, gstate.alive, batch, step, key)
 
         params, adam = adam_update(gstate.params, grads, adam, acfg, step)
 
@@ -239,8 +252,17 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
         aux = aux._replace(**new_aux)
         aux_opt = aux_opt._replace(**new_opt)
 
+        if use_absgrad and auxd["binning"] is not None:
+            # Absolute per-pair screen grads reduced per gaussian (gsplat's
+            # absgrad mode) — sharper densification signal than the net
+            # gradient when positive/negative contributions cancel.
+            c = batch.pixels.shape[0]
+            absred = segment_reduce_pairs(jnp.abs(pgrads), auxd["binning"])
+            stats_grads = absred.reshape(c, -1, 2)
+        else:
+            stats_grads = dgrads
         sstate = default_strategy.update_state(
-            sstate, dgrads, auxd["radii"], width, height
+            sstate, stats_grads, auxd["radii"], width, height
         )
         metrics = dict(
             loss=loss,

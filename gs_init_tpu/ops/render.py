@@ -26,6 +26,7 @@ class RenderInfo(NamedTuple):
     radii: jnp.ndarray  # [C, N] int32
     depths: jnp.ndarray  # [C, N]
     overflow: jnp.ndarray  # [] int32 dropped pairs (pallas path; 0 for xla)
+    binning: object = None  # TileBinning (pallas path) for pair reductions
 
 
 def rasterize(
@@ -53,6 +54,7 @@ def rasterize(
     chunk_size: int = 128,
     alive: Optional[jnp.ndarray] = None,  # [N] bool capacity mask
     means2d_dummy: Optional[jnp.ndarray] = None,  # [C, N, 2] zeros; grad taps
+    pair_dummy: Optional[jnp.ndarray] = None,  # [2, CAP_PAD] zeros; absgrad
     impl: str = "auto",
     pixel_chunk: int = 4096,
 ):
@@ -122,6 +124,11 @@ def rasterize(
         packed = pack_pairs(
             binning, means2d, proj.conics, proj.opacities, cam_colors, proj.depths
         )
+        if pair_dummy is not None:
+            # Per-pair screen-position gradient taps: d(loss)/d(pair_dummy)
+            # is the per-pair (dmx, dmy) record, reducible with
+            # tiles.segment_reduce_pairs for absgrad densification stats.
+            packed = packed.at[0:2, :].add(pair_dummy)
         num_tiles = num_cams * binning.num_tiles_x * binning.num_tiles_y
         out = composite_pairs(
             packed,
@@ -150,5 +157,10 @@ def rasterize(
     else:
         raise ValueError(f"unsupported render_mode {render_mode!r}")
 
-    info = RenderInfo(radii=proj.radii, depths=proj.depths, overflow=overflow)
+    info = RenderInfo(
+        radii=proj.radii,
+        depths=proj.depths,
+        overflow=overflow,
+        binning=binning if impl == "pallas" else None,
+    )
     return render, alpha[..., None], info

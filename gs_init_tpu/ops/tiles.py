@@ -292,3 +292,23 @@ def pack_pairs(
         binning.gauss_counts,
         table,
     )
+
+
+def segment_reduce_pairs(vals: jnp.ndarray, binning: TileBinning) -> jnp.ndarray:
+    """Sum per-pair rows [R, CAP_PAD] into per-gaussian rows [C*N, R] using
+    the presort-contiguous cumsum reduction (same trick as the pack
+    backward — no scatter-add). Used e.g. for absgrad densification stats."""
+    pair_inv = binning.pair_inv
+    offsets = binning.gauss_offsets
+    counts = binning.gauss_counts
+    pair_cap = pair_inv.shape[0]
+    dpre = jnp.take(vals, pair_inv, axis=1, mode="fill", fill_value=0.0)
+    cum = jnp.cumsum(dpre, axis=1)
+    ends = jnp.clip(offsets + counts - 1, 0, pair_cap - 1)
+    hi = jnp.take(cum, ends, axis=1, mode="clip")
+    lo = jnp.where(
+        (offsets > 0)[None, :],
+        jnp.take(cum, jnp.maximum(offsets - 1, 0), axis=1, mode="clip"),
+        0.0,
+    )
+    return jnp.where((counts > 0)[None, :], hi - lo, 0.0).T

@@ -147,3 +147,48 @@ def test_opacity_reset():
     opa = jax.nn.sigmoid(g2.params.opacities)
     assert float(opa.max()) <= 2 * scfg.prune_opa + 1e-6
     assert float(jnp.abs(adam2.mu.opacities).sum()) == 0.0
+
+
+def test_absgrad_stats(rng):
+    """absgrad densification stats: equal to |net grad| on a single-tile
+    image (one pair per gaussian), and >= |net grad| in general."""
+    from gs_init_tpu.config import Config, DefaultStrategyConfig
+
+    def run(width, height, absgrad):
+        scene = make_scene(n_gaussians=24, n_cams=2, width=width, height=height)
+        cfg = Config(
+            max_steps=10, sh_degree=1, max_gaussians=32,
+            pair_capacity=1 << 12, rasterizer_impl="pallas",
+            strategy=DefaultStrategyConfig(absgrad=absgrad),
+        )
+        gstate = init_from_points(
+            jnp.asarray(scene.points[:24]), jnp.asarray(scene.rgbs[:24]), 32, 1
+        )
+        adam = init_adam_state(gstate.params)
+        acfg = make_adam_config(cfg, scene.scene_scale)
+        sstate = dstrat.init_state(32)
+        aux = AuxParams()
+        aux_opt = init_aux_opt(aux)
+        step_fn = make_train_step(cfg, acfg, width, height)
+        batch = Batch(
+            camtoworlds=jnp.asarray(scene.camtoworlds[:1]),
+            Ks=jnp.asarray(scene.Ks[:1]),
+            pixels=jnp.asarray(scene.images[:1]),
+            image_ids=jnp.asarray([0]),
+        )
+        _, _, sstate, _, _, _ = step_fn(
+            gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0),
+            jax.random.PRNGKey(0),
+        )
+        return np.asarray(sstate.grad2d)
+
+    # Single 16x16 tile: every gaussian has exactly one pair -> |sum| == sum|.|
+    g_net = run(16, 16, absgrad=False)
+    g_abs = run(16, 16, absgrad=True)
+    np.testing.assert_allclose(g_abs, g_net, rtol=1e-4, atol=1e-7)
+
+    # Multi-tile: abs-accumulated magnitude dominates the net gradient.
+    g_net = run(64, 48, absgrad=False)
+    g_abs = run(64, 48, absgrad=True)
+    assert (g_abs >= g_net - 1e-6).all()
+    assert g_abs.sum() > g_net.sum()
