@@ -47,12 +47,16 @@ class Runner:
         valset: Optional[Dataset] = None,
     ):
         self.cfg = cfg
-        self.parser = parser or Parser(
-            cfg.data_dir,
-            factor=cfg.data_factor,
-            normalize=cfg.normalize_world_space,
-            test_every=cfg.test_every,
-        )
+        if parser is None:
+            from ..datasets.nerfstudio import open_dataset
+
+            parser = open_dataset(
+                cfg.data_dir,
+                factor=cfg.data_factor,
+                normalize=cfg.normalize_world_space,
+                test_every=cfg.test_every,
+            )
+        self.parser = parser
         self.trainset = trainset or Dataset(
             self.parser, "train", load_depths=cfg.depth_loss
         )
