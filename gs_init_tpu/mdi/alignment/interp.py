@@ -55,6 +55,35 @@ def _scale_outliers(
     return out
 
 
+def _delaunay_scale_map(
+    pix: np.ndarray, factors: np.ndarray, h: int, w: int, grid_width: int
+) -> np.ndarray:
+    """Piecewise-linear scale map over the Delaunay triangulation of the
+    inlier points, with median-weighted image corners appended so the hull
+    covers the frame (the reference's corner-fill trick, interp.py:75-110).
+    Evaluated on a coarse grid then bilinearly upsampled."""
+    from scipy.interpolate import LinearNDInterpolator
+
+    med = float(np.median(factors))
+    corners = np.array(
+        [[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]], np.float32
+    )
+    pts = np.concatenate([pix, corners])
+    vals = np.concatenate([factors, np.full(4, med, np.float32)])
+    interp = LinearNDInterpolator(pts, vals, fill_value=med)
+    gw = min(grid_width, w)
+    gh = max(int(round(h * gw / w)), 1)
+    xs = (np.arange(gw) + 0.5) * (w / gw)
+    ys = (np.arange(gh) + 0.5) * (h / gh)
+    gx, gy = np.meshgrid(xs, ys)
+    coarse = interp(np.stack([gx.ravel(), gy.ravel()], -1)).reshape(gh, gw)
+    import jax
+
+    return np.asarray(
+        jax.image.resize(jnp.asarray(coarse, jnp.float32), (h, w), "bilinear")
+    )
+
+
 def align_interpolate(
     pred_depth: np.ndarray,  # [H, W]
     pred_at: np.ndarray,  # [M] predicted depth at correspondences
@@ -99,16 +128,21 @@ def align_interpolate(
     try:
         if keep.sum() < 8:
             raise ValueError(f"too few scale inliers ({int(keep.sum())})")
-        scale_map = np.asarray(
-            tps_interpolate_grid(
-                jnp.asarray(pix, jnp.float32),
-                jnp.asarray(factors, jnp.float32),
-                jnp.asarray(keep),
-                h,
-                w,
-                grid_width=icfg.rbf_grid_width,
+        if icfg.method == "delaunay":
+            scale_map = _delaunay_scale_map(
+                pix[keep], factors[keep], h, w, icfg.rbf_grid_width
             )
-        )
+        else:
+            scale_map = np.asarray(
+                tps_interpolate_grid(
+                    jnp.asarray(pix, jnp.float32),
+                    jnp.asarray(factors, jnp.float32),
+                    jnp.asarray(keep),
+                    h,
+                    w,
+                    grid_width=icfg.rbf_grid_width,
+                )
+            )
         if not np.isfinite(scale_map).all():
             raise ValueError("non-finite scale map")
         # Guard against wild extrapolation far from correspondences.

@@ -156,3 +156,27 @@ def test_pipeline_with_segmentation(rng):
     )
     rel_g = np.abs(aligned_g[mask_g] - true[mask_g]) / true[mask_g]
     assert np.median(rel) < np.median(rel_g) * 0.5
+
+
+def test_align_interpolate_delaunay_variant(rng):
+    """Delaunay scale map recovers a varying distortion like the RBF path."""
+    h, w = 48, 64
+    xs, ys = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    true_depth = (2.0 + 0.01 * xs + 0.02 * ys).astype(np.float32)
+    ramp = (1.0 + 0.5 * xs / w).astype(np.float32)
+    pred = true_depth / ramp
+    m = 250
+    px = rng.uniform(0, w - 1, m)
+    py = rng.uniform(0, h - 1, m)
+    pix = np.stack([px, py], -1).astype(np.float32)
+    gt = true_depth[py.astype(int), px.astype(int)]
+    pred_at = pred[py.astype(int), px.astype(int)]
+    cfg = DepthAlignmentConfig()
+    cfg.interp.method = "delaunay"
+    cfg.interp.rbf_grid_width = 32
+    cfg.ransac.max_iterations = 300
+    aligned = align_interpolate(
+        pred, pred_at, gt, pix, np.ones(m, bool), jax.random.PRNGKey(0), cfg
+    )
+    rel = np.abs(aligned - true_depth) / true_depth
+    assert np.median(rel) < 0.04
