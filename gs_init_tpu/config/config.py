@@ -298,7 +298,7 @@ class Config:
     render_traj_path: Literal["interp", "ellipse_z", "ellipse_y", "spiral"] = (
         "interp"
     )
-    compression: Optional[Literal["png"]] = None
+    compression: Optional[Literal["quantized", "png"]] = None
 
     # Logging / infra
     disable_viewer: bool = True

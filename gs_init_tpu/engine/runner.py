@@ -296,6 +296,8 @@ class Runner:
                 self.export_ply(step + 1)
             if step + 1 in cfg.eval_steps or step + 1 == cfg.max_steps:
                 self.eval(step + 1)
+                if cfg.compression is not None:
+                    self.run_compression(step + 1)
         elapsed = time.time() - t0
         stats = dict(
             elapsed=elapsed,
@@ -495,6 +497,27 @@ class Runner:
             self.aux = jax.tree_util.tree_unflatten(treedef, new_leaves)
         self.global_step = int(data["step"])
         return self.global_step
+
+    def run_compression(self, step: int) -> str:
+        """Compressed splat export (reference run_compression,
+        runner.py:863-878; ours is a Morton-ordered quantized npz codec)."""
+        from ..utils.compression import compress_splats
+
+        alive = np.asarray(self.gstate.alive)
+        p = self.gstate.params
+        path = os.path.join(
+            self.cfg.result_dir, f"compressed_{step}.npz"
+        )
+        compress_splats(
+            path,
+            np.asarray(p.means)[alive],
+            np.asarray(p.scales)[alive],
+            np.asarray(p.quats)[alive],
+            np.asarray(p.opacities)[alive],
+            np.asarray(p.sh0)[alive],
+            np.asarray(p.shN)[alive],
+        )
+        return path
 
     def export_ply(self, step: int) -> str:
         from ..utils.ply import write_ply_splats

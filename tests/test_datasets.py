@@ -203,3 +203,37 @@ def test_ply_splats_roundtrip(tmp_path, rng):
     m2, s2, q2, o2, sh02, shN2 = read_ply_splats(p)
     for a, b in [(means, m2), (scales, s2), (quats, q2), (opac, o2), (sh0, sh02), (shN, shN2)]:
         np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_splat_compression_roundtrip(rng):
+    """Quantized codec: large size reduction, small reconstruction error."""
+    import io
+
+    from gs_init_tpu.utils.compression import compress_splats, decompress_splats
+
+    n = 500
+    means = rng.normal(0, 2, (n, 3)).astype(np.float32)
+    scales = rng.normal(-4, 0.5, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.normal(0, 2, n).astype(np.float32)
+    sh0 = rng.normal(0, 0.5, (n, 1, 3)).astype(np.float32)
+    shN = rng.normal(0, 0.05, (n, 15, 3)).astype(np.float32)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "c.npz")
+        compress_splats(p, means, scales, quats, opac, sh0, shN)
+        size = os.path.getsize(p)
+        raw = n * (3 + 3 + 4 + 1 + 3 + 45) * 4
+        assert size < raw / 3  # substantial reduction
+        m2, s2, q2, o2, sh02, shN2 = decompress_splats(p)
+    # Order is permuted (Morton); recover the permutation by nearest match.
+    assert m2.shape == means.shape
+    from scipy.spatial import cKDTree
+
+    d, idx = cKDTree(means).query(m2)
+    assert len(np.unique(idx)) == n  # bijective matching
+    assert d.max() < 6e-3  # float16 means
+    np.testing.assert_allclose(s2, scales[idx], atol=0.02)
+    assert np.abs(o2 - opac[idx]).mean() < 0.02
+    np.testing.assert_allclose(shN2, shN[idx], atol=0.01)
