@@ -304,6 +304,10 @@ class Config:
     disable_viewer: bool = True
     port: int = 8080
     tb_every: int = 100
+    # Profiling: capture a jax.profiler trace covering steps
+    # [profile_start, profile_start + profile_steps) into result_dir/profile.
+    profile_start: int = -1
+    profile_steps: int = 3
     tb_save_image: bool = False
     ckpt: Optional[List[str]] = None
     seed: int = 42

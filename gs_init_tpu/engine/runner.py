@@ -78,6 +78,8 @@ class Runner:
         self.step_fn = make_train_step(cfg, self.acfg, self.width, self.height)
         self.key = jax.random.PRNGKey(cfg.seed)
         self.global_step = 0
+        # Per-phase wall-clock accounting (data loading vs device step).
+        self._phase_times = {"data": 0.0, "step": 0.0}
         self._perm: List[int] = []
         self._writer = None
 
@@ -233,7 +235,12 @@ class Runner:
 
     def train_iteration(self, step: int) -> Dict[str, float]:
         cfg = self.cfg
+        if cfg.profile_start >= 0 and step == cfg.profile_start:
+            self._profile_dir = os.path.join(cfg.result_dir, "profile")
+            jax.profiler.start_trace(self._profile_dir)
+        t_data = time.time()
         batch = self._next_batch()
+        self._phase_times["data"] += time.time() - t_data
         self.key, k = jax.random.split(self.key)
         (
             self.gstate, self.adam, self.sstate, self.aux, self.aux_opt,
@@ -271,6 +278,14 @@ class Runner:
                 self.acfg.lrs.means * self.acfg.means_decay_gamma**step
             )
             self.gstate = self._add_noise_jit(self.gstate, k, lr_now, s)
+        if (
+            cfg.profile_start >= 0
+            and step == cfg.profile_start + cfg.profile_steps - 1
+        ):
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            print(f"[profiler] trace written to {self._profile_dir}")
+        self._phase_times["step"] += time.time() - t_data
         self.global_step = step
         return metrics
 
@@ -302,6 +317,8 @@ class Runner:
         stats = dict(
             elapsed=elapsed,
             num_GS=int(num_alive(self.gstate)),
+            data_time=self._phase_times["data"],
+            step_time=self._phase_times["step"] - self._phase_times["data"],
             **last_metrics,
         )
         with open(
