@@ -113,3 +113,34 @@ def test_results_tables(tmp_path):
     assert r"\textbf{31.1" in latex
     rows7k = collect_results(str(root), step=7000)
     assert all(r["step"] == 7000 for r in rows7k)
+
+
+def test_patch_metrics_localize_error(rng):
+    """A corrupted corner shows up only in that patch's PSNR."""
+    from gs_init_tpu.evaluation.patches import patch_metrics, patch_table
+
+    gt = rng.uniform(0.2, 0.8, (48, 72, 3)).astype(np.float32)
+    render = gt.copy()
+    render[:12, :12] += 0.4  # corrupt top-left patch only
+    m = patch_metrics(gt, np.clip(render, 0, 1), grid=(4, 6))
+    assert m["psnr"].shape == (4, 6)
+    assert m["psnr"][0, 0] < 15
+    assert m["psnr"][1:, 1:].min() > 40
+    table = patch_table(m["psnr"])
+    assert "| r0 |" in table and "c5" in table
+
+
+def test_analyze_renders_cli(tmp_path, rng):
+    import imageio.v2 as imageio
+
+    from gs_init_tpu.evaluation.patches import analyze_renders
+
+    d = tmp_path / "renders"
+    d.mkdir()
+    gt = (rng.uniform(0, 1, (24, 36, 3)) * 255).astype(np.uint8)
+    canvas = np.concatenate([gt, gt], axis=1)
+    imageio.imwrite(str(d / "val_30_000.png"), canvas)
+    rows = analyze_renders(str(tmp_path), grid=(2, 3))
+    assert len(rows) == 1 and rows[0]["step"] == 30
+    assert np.isfinite(rows[0]["psnr"]).all()
+    assert rows[0]["psnr"].min() > 60  # identical halves
