@@ -93,6 +93,17 @@ def main():
         gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0), key
     )
     float(out[-1]["loss"])
+    # Right-size the pair capacity from the observed pair count — the same
+    # policy the Runner applies in production (auto_pair_capacity).
+    pairs = int(out[-1]["pairs"]) + int(out[-1]["overflow"])
+    snug = 1 << (max(int(pairs * 1.5), 1 << 14) - 1).bit_length()
+    if snug < cfg.pair_capacity:
+        cfg.pair_capacity = snug
+        step_fn = make_train_step(cfg, acfg, width, height)
+        out = step_fn(
+            gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0), key
+        )
+        float(out[-1]["loss"])
     del out
 
     # Time a closed 30-step chain with a single final scalar fetch: each

@@ -260,6 +260,10 @@ class Config:
     # Rasterizer capacities (TPU additions; XLA needs static shapes)
     tile_size: int = 16
     pair_capacity: int = 4_194_304
+    # Auto-tune pair_capacity from observed pair counts (recompiles the
+    # step when the capacity is >2x too large or overflowing; checks happen
+    # on refine boundaries so recompiles coincide with natural pauses).
+    auto_pair_capacity: bool = True
     chunk_size: int = 128
     # Use the Pallas tile kernel ("pallas") or the pure-XLA reference
     # compositor ("xla", used on CPU/tests and tiny scenes).

@@ -233,6 +233,34 @@ class Runner:
         """Warm the compiled step (first call compiles)."""
         return self
 
+    def _maybe_retune_capacity(self, metrics, step: int) -> None:
+        """Right-size pair_capacity: every binning/pack pipeline runs at
+        the static capacity, so a 4x oversized cap wastes ~2x step time
+        (PERF.md). Recompile with a snug cap when observed pair counts are
+        far from it (growth also handles overflow)."""
+        cfg = self.cfg
+        if not cfg.auto_pair_capacity or cfg.rasterizer_impl == "xla":
+            return
+        pairs = int(metrics.get("pairs", 0))
+        overflow = int(metrics.get("overflow", 0))
+        if pairs <= 0 and overflow <= 0:
+            return
+        want = max(int((pairs + overflow) * 1.5), 1 << 14)
+        want = 1 << (want - 1).bit_length()  # next pow2
+        cap = cfg.pair_capacity
+        if overflow > 0 and want > cap:
+            new_cap = want
+        elif want < cap // 2:
+            new_cap = max(want, 1 << 14)
+        else:
+            return
+        print(
+            f"[runner] retuning pair_capacity {cap} -> {new_cap} "
+            f"(observed {pairs} pairs, overflow {overflow}) at step {step}"
+        )
+        cfg.pair_capacity = new_cap
+        self.step_fn = make_train_step(cfg, self.acfg, self.width, self.height)
+
     def train_iteration(self, step: int) -> Dict[str, float]:
         cfg = self.cfg
         if cfg.profile_start >= 0 and step == cfg.profile_start:
@@ -250,6 +278,8 @@ class Runner:
             batch, jnp.int32(step), k,
         )
         s = cfg.strategy
+        if step == 0 or (step % s.refine_every == 0 and step > 0):
+            self._maybe_retune_capacity(metrics, step)
         if self._strategy_kind == "default":
             if (
                 s.refine_start_iter < step < s.refine_stop_iter

@@ -204,6 +204,11 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
             overflow=info.overflow,
             alpha_mean=jnp.mean(alpha),
             binning=info.binning,
+            pairs=(
+                info.binning.tile_starts[-1]
+                if info.binning is not None
+                else jnp.int32(0)
+            ),
         )
         return loss, auxd
 
@@ -270,6 +275,7 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
             ssim=auxd["ssim"],
             overflow=auxd["overflow"],
             alpha_mean=auxd["alpha_mean"],
+            pairs=auxd["pairs"],
         )
         return gstate._replace(params=params), adam, sstate, aux, aux_opt, metrics
 

@@ -131,3 +131,19 @@ def test_cli_parsing(scene_dir, tmp_path):
     assert cfg.eval_steps == [100, 500]
     cfg.adjust_steps()
     assert cfg.max_steps == 500 and cfg.eval_steps == [50, 250]
+
+
+def test_auto_pair_capacity(scene_dir, tmp_path):
+    """The runner shrinks a grossly oversized pair capacity after step 0."""
+    cfg = _cfg(
+        scene_dir, tmp_path, max_steps=3, eval_steps=[3], save_steps=[3],
+        rasterizer_impl="pallas", pair_capacity=1 << 18,
+    )
+    cfg.auto_pair_capacity = True
+    runner = Runner(cfg)
+    runner.train_iteration(0)
+    assert cfg.pair_capacity <= 1 << 15  # shrunk to a snug power of two
+    # Training continues fine with the retuned step.
+    m = runner.train_iteration(1)
+    assert np.isfinite(m["loss"])
+    assert int(m["overflow"]) == 0
