@@ -106,3 +106,43 @@ def test_sharded_training_reduces_loss():
         )
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.9
+
+
+def test_sharded_refine_matches_single_device():
+    """Densification (grow/split/prune) on GSPMD-sharded buffers matches the
+    single-device result exactly."""
+    import jax.numpy as jnp
+
+    from gs_init_tpu.config import DefaultStrategyConfig
+    from gs_init_tpu.engine.params import num_alive
+
+    scene, cfg, gstate, adam, acfg = _setup()
+    scfg = DefaultStrategyConfig()
+    sstate = dstrat.init_state(cfg.max_gaussians)
+    sstate = sstate._replace(
+        grad2d=jnp.zeros(cfg.max_gaussians).at[:16].set(1.0),
+        count=jnp.ones(cfg.max_gaussians),
+    )
+    key = jax.random.PRNGKey(3)
+    g1, a1, _, _ = dstrat.refine(
+        gstate, adam, sstate, key, 1.0, scfg, jnp.int32(1000)
+    )
+
+    mesh = make_mesh(2, 4)
+    gauss_s, _, repl_s = shardings(mesh)
+    put = lambda x: jax.device_put(x, gauss_s)
+    g_sh = jax.tree.map(put, gstate)
+    a_sh = jax.tree.map(
+        lambda x: jax.device_put(x, gauss_s if x.ndim > 0 else repl_s), adam
+    )
+    s_sh = jax.tree.map(put, sstate)
+    refine_jit = jax.jit(dstrat.refine, static_argnames=("scene_scale", "cfg"))
+    g2, a2, _, _ = refine_jit(g_sh, a_sh, s_sh, key, 1.0, scfg, jnp.int32(1000))
+
+    assert int(num_alive(g2)) == int(num_alive(g1))
+    np.testing.assert_allclose(
+        np.asarray(g2.params.means), np.asarray(g1.params.means), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g2.alive), np.asarray(g1.alive)
+    )
