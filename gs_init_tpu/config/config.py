@@ -198,8 +198,12 @@ class MonocularDepthInitConfig:
     # On-disk depth cache directory (resumable memo of the expensive stage).
     cache_dir: str = "__mono_depth_cache__"
     use_cache: bool = True
-    # Clamp init scales to a kNN-distance quantile.
+    # Clamp init scales to a kNN-distance quantile
+    # (reference monocular_depth_init.py:215-224, limit_init_scale).
     scale_clamp_quantile: float = 0.0
+    # Permit predictors to run with random (untrained) weights — for
+    # pipeline/shape testing only; real runs must load converted weights.
+    allow_random_weights: bool = False
     # TPU addition: images are depth-predicted in pjit-batched groups instead
     # of the reference's serial per-image loop (monocular_depth_init.py:120).
     predict_batch_size: int = 8

@@ -68,17 +68,24 @@ def init_from_points(
     init_opacity: float = 0.1,
     init_scale: float = 1.0,
     rng: Optional[jax.Array] = None,
+    scale_clamp_quantile: float = 0.0,
 ) -> GaussianState:
     """SfM / monocular-depth point-cloud initialization.
 
     Scale init = log(mean kNN distance * init_scale) as in reference
     runner.py:87-91; N may exceed capacity (truncated with a warning left to
-    the caller via the returned alive count).
+    the caller via the returned alive count). When scale_clamp_quantile > 0,
+    kNN distances are clamped to that quantile before the log (reference
+    limit_init_scale, monocular_depth_init.py:215-224) so a few isolated
+    points can't spawn huge gaussians.
     """
     n = min(points.shape[0], capacity)
     points = points[:n]
     rgbs = rgbs[:n]
     dist = jnp.clip(mean_knn_dist(points, k=3), 1e-7, None)
+    if scale_clamp_quantile > 0.0:
+        q = jnp.quantile(dist, scale_clamp_quantile)
+        dist = jnp.minimum(dist, q)
     scales = jnp.log(dist * init_scale)[:, None].repeat(3, axis=1)
 
     k = num_sh_bases(sh_degree)

@@ -130,6 +130,11 @@ class Runner:
                 init_opacity=cfg.init_opa,
                 init_scale=cfg.init_scale,
                 rng=key,
+                scale_clamp_quantile=(
+                    cfg.mdi.scale_clamp_quantile
+                    if cfg.init_type == "monocular_depth"
+                    else 0.0
+                ),
             )
 
     def _init_aux(self):
@@ -281,19 +286,25 @@ class Runner:
         if step == 0 or (step % s.refine_every == 0 and step > 0):
             self._maybe_retune_capacity(metrics, step)
         if self._strategy_kind == "default":
-            if (
-                s.refine_start_iter < step < s.refine_stop_iter
-                and step % s.refine_every == 0
-            ):
-                self.key, k = jax.random.split(self.key)
-                self.gstate, self.adam, self.sstate, _ = self._refine_jit(
-                    self.gstate, self.adam, self.sstate, k,
-                    self.scene_scale, s, jnp.int32(step),
-                )
-            if step % s.reset_every == 0 and step > 0:
-                self.gstate, self.adam = self._reset_jit(
-                    self.gstate, self.adam, s
-                )
+            # gsplat's DefaultStrategy.step_post_backward returns early once
+            # step >= refine_stop_iter, so BOTH refine and opacity reset stop
+            # there; pause_refine_after_reset skips grow/prune right after a
+            # reset (gsplat default_strategy semantics).
+            if step < s.refine_stop_iter:
+                if (
+                    step > s.refine_start_iter
+                    and step % s.refine_every == 0
+                    and step % s.reset_every >= s.pause_refine_after_reset
+                ):
+                    self.key, k = jax.random.split(self.key)
+                    self.gstate, self.adam, self.sstate, _ = self._refine_jit(
+                        self.gstate, self.adam, self.sstate, k,
+                        self.scene_scale, s, jnp.int32(step),
+                    )
+                if step % s.reset_every == 0 and step > 0:
+                    self.gstate, self.adam = self._reset_jit(
+                        self.gstate, self.adam, s
+                    )
         else:  # mcmc
             if (
                 s.refine_start_iter < step < s.refine_stop_iter

@@ -134,8 +134,13 @@ def add_noise(
     gate = jax.nn.sigmoid(-100.0 * (opa - 1.0 + 0.995))
     eps = jax.random.normal(key, params.means.shape)
     rot = quat_to_rotmat(params.quats)
-    # Sample from N(0, Sigma): Sigma = R diag(s^2) R^T -> x = R (s * eps).
-    sample = jnp.einsum("nij,nj->ni", rot, jnp.exp(params.scales) * eps)
+    # gsplat/3DGS-MCMC transform eps by the FULL covariance
+    # Sigma = R diag(s^2) R^T (not a Cholesky sample), so noise magnitude
+    # scales as s^2: x = R diag(s^2) R^T eps.
+    s2 = jnp.exp(2.0 * params.scales)
+    sample = jnp.einsum(
+        "nij,nj->ni", rot, s2 * jnp.einsum("nji,nj->ni", rot, eps)
+    )
     noise = cfg.noise_lr * lr * gate[:, None] * sample
     means = jnp.where(alive[:, None], params.means + noise, params.means)
     return gstate._replace(params=params._replace(means=means))

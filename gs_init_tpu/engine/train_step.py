@@ -85,14 +85,7 @@ def sh_coeff_mask(step: jnp.ndarray, sh_degree: int, interval: int) -> jnp.ndarr
 
 def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
     """Build the jitted train step for a fixed image size."""
-    from ..ops.tiles import padded_capacity, segment_reduce_pairs
-
     use_absgrad = bool(getattr(cfg.strategy, "absgrad", False))
-    ntx = -(-width // cfg.tile_size)
-    nty = -(-height // cfg.tile_size)
-    cap_pad = padded_capacity(
-        cfg.pair_capacity, cfg.batch_size * ntx * nty, cfg.chunk_size
-    )
 
     rasterize_kw = dict(
         near_plane=cfg.near_plane,
@@ -159,10 +152,11 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
             rendered = slice_bilateral_grid(
                 aux.grids, rendered, batch.image_ids
             )
-        if cfg.random_bkgd:
-            pixels = batch.pixels + (1.0 - alpha) * bkgd[:, None, None, :]
-        else:
-            pixels = batch.pixels
+        # random_bkgd: bkgd is composited into the render via
+        # rasterize(backgrounds=bkgd); GT pixels stay raw (reference
+        # runner.py:493-495 adds bkgd*(1-alpha) only to the rendered side),
+        # so the alpha gradient that suppresses floaters survives.
+        pixels = batch.pixels
 
         l1 = jnp.mean(jnp.abs(rendered - pixels))
         ssim_val = ssim(rendered, pixels)
@@ -223,11 +217,12 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
         step: jnp.ndarray,
         key: jax.Array,
     ):
-        dummy = jnp.zeros(
-            (batch.pixels.shape[0], gstate.params.capacity, 2), jnp.float32
-        )
+        c = batch.pixels.shape[0]
+        dummy = jnp.zeros((c, gstate.params.capacity, 2), jnp.float32)
         pair_dummy = (
-            jnp.zeros((2, cap_pad), jnp.float32) if use_absgrad else None
+            jnp.zeros((c * gstate.params.capacity, 2), jnp.float32)
+            if use_absgrad
+            else None
         )
         (loss, auxd), (grads, dgrads, pgrads, agrads) = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3), has_aux=True
@@ -258,12 +253,11 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
         aux_opt = aux_opt._replace(**new_opt)
 
         if use_absgrad and auxd["binning"] is not None:
-            # Absolute per-pair screen grads reduced per gaussian (gsplat's
+            # Per-gaussian sums of absolute per-pair screen grads (gsplat's
             # absgrad mode) — sharper densification signal than the net
-            # gradient when positive/negative contributions cancel.
-            c = batch.pixels.shape[0]
-            absred = segment_reduce_pairs(jnp.abs(pgrads), auxd["binning"])
-            stats_grads = absred.reshape(c, -1, 2)
+            # gradient when positive/negative contributions cancel. The
+            # render op's pair_dummy cotangent delivers them pre-reduced.
+            stats_grads = pgrads.reshape(c, -1, 2)
         else:
             stats_grads = dgrads
         sstate = default_strategy.update_state(

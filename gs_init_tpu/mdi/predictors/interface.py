@@ -71,7 +71,10 @@ def pick_model(cfg) -> DepthPredictor:
             backbone = {"vits": "small", "vitl": "large", "vitg": "giant"}.get(
                 backbone, "small"
             )
-        return Metric3DPredictor(backbone=backbone)
+        return Metric3DPredictor(
+            backbone=backbone,
+            allow_random_weights=cfg.mdi.allow_random_weights,
+        )
     raise NotImplementedError(
         f"predictor {name!r} not yet available in the TPU build "
         "(moge/unidepth/depth_pro ports are tracked work)"

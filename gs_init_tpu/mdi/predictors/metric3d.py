@@ -65,19 +65,40 @@ class Metric3DNet(nn.Module):
 class Metric3DPredictor:
     name = "metric3d"
 
-    def __init__(self, backbone: str = "small", checkpoint=None):
+    def __init__(
+        self,
+        backbone: str = "small",
+        checkpoint=None,
+        allow_random_weights: bool = False,
+    ):
         self.backbone = backbone
         self.net = Metric3DNet(backbone=backbone)
         ckpt = checkpoint or self._find_ckpt(backbone)
-        if ckpt:
-            _LOGGER.info("metric3d checkpoint found at %s (conversion of the "
-                         "official torch weights is tracked work)", ckpt)
-        _LOGGER.warning(
-            "Metric3D running with RANDOM weights — place converted "
-            "checkpoints under GS_TPU_CHECKPOINT_DIR for real predictions"
-        )
         dummy = jnp.zeros((1, 14 * 4, 14 * 4, 3))
         self.variables = self.net.init(jax.random.PRNGKey(0), dummy)
+        if ckpt:
+            from .metric3d_convert import load_metric3d_weights
+
+            self.variables = load_metric3d_weights(
+                ckpt, self.variables, backbone
+            )
+            _LOGGER.info("metric3d weights loaded from %s", ckpt)
+        elif not allow_random_weights:
+            # Random weights produce garbage depth; fail loudly instead of
+            # silently degrading init quality (the reference always loads
+            # real weights via torch.hub, metric3d.py:18-44).
+            raise FileNotFoundError(
+                "No Metric3D checkpoint found. Place the official torch "
+                "checkpoint (metric_depth_vit_{small,large}_*.pth) or a "
+                "converted .npz under $GS_TPU_CHECKPOINT_DIR or "
+                "~/.cache/gs_init_tpu, or pass allow_random_weights=True "
+                "(mdi.allow_random_weights) for pipeline/shape testing only."
+            )
+        else:
+            _LOGGER.warning(
+                "Metric3D running with RANDOM weights (explicitly allowed) "
+                "— predictions are not meaningful"
+            )
 
         @jax.jit
         def _fwd(variables, x):

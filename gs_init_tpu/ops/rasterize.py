@@ -6,16 +6,24 @@ TPU-native replacement for gsplat's ``rasterize_to_pixels`` CUDA kernels
 * Per-tile front-to-back alpha compositing is reformulated as **MXU
   matmuls**: within a chunk of K sorted gaussians the exclusive
   log-transmittance prefix is ``L @ log1p(-alpha)`` with ``L`` the strictly
-  lower-triangular ones matrix, and color accumulation is a ``[3,K] @ [K,P]``
-  contraction. No per-gaussian sequential loop — the systolic array does the
-  scan. CUDA needs warp-serial compositing here; the TPU does not.
-* The grid iterates tiles; per-tile pair ranges arrive via scalar prefetch
-  (``PrefetchScalarGridSpec``) and packed pair attributes are DMA'd from HBM
-  chunk-by-chunk with early termination once every pixel saturates.
-* Backward is a second Pallas kernel traversing chunks back-to-front using
-  the saved final transmittance (same trick as gsplat's backward), emitting
-  **per-pair gradient records**; the scatter-reduction back to per-gaussian
-  arrays is the autodiff VJP of the (XLA) gather in ``tiles.pack_pairs``.
+  lower-triangular ones matrix, and color accumulation is a ``[K,4]^T @
+  [K,P]`` contraction. No per-gaussian sequential loop — the systolic array
+  does the scan. CUDA needs warp-serial compositing here; the TPU does not.
+* Pairs arrive **attribute-major** ([PACK_COLS, PAIR_CAP] f32, sorted
+  order; see tiles.py) — minor dim = pairs, so XLA does not lane-pad the
+  narrow attribute dim and chunk DMA slices are 128-aligned.
+* The grid iterates tiles; tile pair ranges are *unaligned* — the kernel DMAs
+  chunk-aligned windows from ``align_down(start)`` and masks rows outside
+  [start, end). Double-buffered DMA with early termination once every pixel
+  saturates.
+* Backward traverses chunks back-to-front using the saved final
+  transmittance (same trick as gsplat's backward), emitting per-pair
+  gradient records into **per-tile aligned output slots** (no two grid steps
+  write the same chunk); the reduction to per-gaussian rows is a
+  presort-order cumsum + boundary difference (tiles.segment_reduce_presort),
+  not an XLA scatter-add.
+* ``render_tiles`` fuses pack-gather + compositing into one custom-VJP op so
+  the cotangent contract is per-gaussian (table) rather than per-pair.
 * On CPU (tests) the kernels run in Pallas interpret mode.
 
 Numerical semantics match ops/rasterize_ref.py (the oracle), which matches
@@ -33,17 +41,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .tiles import (
-    PACK_B,
     PACK_CA,
     PACK_CB,
     PACK_CC,
     PACK_COLS,
     PACK_DEPTH,
-    PACK_G,
+    PACK_GID,
     PACK_MX,
     PACK_MY,
     PACK_OPA,
     PACK_R,
+    PACK_VALID,
+    padded_capacity,
+    segment_reduce_presort,
 )
 
 ALPHA_MAX = 0.999
@@ -63,8 +73,10 @@ def _tri(chunk: int, strict_lower: bool) -> jnp.ndarray:
     return (j < i if strict_lower else j > i).astype(jnp.float32)
 
 
-def _alpha_terms(d, px, py, i, chunk, n):
-    """Shared fwd/bwd per-chunk alpha computation. d: [chunk, PACK_COLS]."""
+def _alpha_terms(d, px, py, lo, hi, chunk):
+    """Shared fwd/bwd per-chunk alpha computation. d: [chunk, PACK_COLS];
+    rows with index outside [lo, hi) (this tile's pairs within the aligned
+    window) are masked out."""
     mx = d[:, PACK_MX : PACK_MX + 1]
     my = d[:, PACK_MY : PACK_MY + 1]
     ca = d[:, PACK_CA : PACK_CA + 1]
@@ -72,7 +84,7 @@ def _alpha_terms(d, px, py, i, chunk, n):
     cc = d[:, PACK_CC : PACK_CC + 1]
     opa = d[:, PACK_OPA : PACK_OPA + 1]
     k = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-    inrange = (i * chunk + k) < n
+    inrange = (k >= lo) & (k < hi)
     dx = px - mx  # [chunk, P]
     dy = py - my
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
@@ -87,15 +99,7 @@ def _alpha_terms(d, px, py, i, chunk, n):
     )
 
 
-def _fwd_kernel(
-    starts_ref, packed_ref, out_ref, buf, sem,
-    *, chunk, tile, ntx, nty, pixels,
-):
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    n = starts_ref[t + 1] - start
-    nchunks = (n + chunk - 1) // chunk
-
+def _pixel_coords(t, tile, ntx, nty, pixels):
     tiles_per_cam = ntx * nty
     tloc = t % tiles_per_cam
     px0 = (tloc % ntx) * tile
@@ -103,12 +107,25 @@ def _fwd_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (1, pixels), 1)
     px = (px0 + col % tile).astype(jnp.float32) + 0.5
     py = (py0 + col // tile).astype(jnp.float32) + 0.5
+    return px, py
 
+
+def _fwd_kernel(
+    starts_ref, packed_ref, out_ref, buf, sem,
+    *, chunk, tile, ntx, nty, pixels,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+    c0 = (start // chunk) * chunk
+    nchunks = jnp.where(end > start, (end - c0 + chunk - 1) // chunk, 0)
+
+    px, py = _pixel_coords(t, tile, ntx, nty, pixels)
     out_ref[0] = jnp.zeros((OUT_ROWS, pixels), jnp.float32)
     ltri = _tri(chunk, strict_lower=True)
 
     def dma(j, slot):
-        off = pl.multiple_of(start + j * chunk, chunk)
+        off = pl.multiple_of(c0 + j * chunk, chunk)
         return pltpu.make_async_copy(
             packed_ref.at[:, pl.ds(off, chunk)], buf.at[slot], sem.at[slot]
         )
@@ -128,7 +145,8 @@ def _fwd_kernel(
 
         dma(i, slot).wait()
         d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS]
-        alpha, _ = _alpha_terms(d, px, py, i, chunk, n)
+        base = c0 + i * chunk
+        alpha, _ = _alpha_terms(d, px, py, start - base, end - base, chunk)
         logs = jnp.log1p(-alpha)
         excl = jax.lax.dot_general(
             ltri, logs, (((1,), (0,)), ((), ())),
@@ -169,22 +187,18 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    starts_ref, packed_ref, fwdout_ref, gout_ref, dpairs_ref,
+    starts_ref, ostarts_ref, packed_ref, fwdout_ref, gout_ref, dpairs_ref,
     buf, gbuf, sem, osem,
     *, chunk, tile, ntx, nty, pixels,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
-    n = starts_ref[t + 1] - start
-    nchunks = (n + chunk - 1) // chunk
+    end = starts_ref[t + 1]
+    c0 = (start // chunk) * chunk
+    obase = ostarts_ref[t]
+    nchunks = jnp.where(end > start, (end - c0 + chunk - 1) // chunk, 0)
 
-    tiles_per_cam = ntx * nty
-    tloc = t % tiles_per_cam
-    px0 = (tloc % ntx) * tile
-    py0 = (tloc // ntx) * tile
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, pixels), 1)
-    px = (px0 + col % tile).astype(jnp.float32) + 0.5
-    py = (py0 + col // tile).astype(jnp.float32) + 0.5
+    px, py = _pixel_coords(t, tile, ntx, nty, pixels)
 
     g_rgbd = jnp.concatenate(
         [gout_ref[0, ROW_R : ROW_B + 1, :], gout_ref[0, ROW_DEPTH : ROW_DEPTH + 1, :]],
@@ -199,19 +213,38 @@ def _bwd_kernel(
     utri_incl = 1.0 - _tri(chunk, strict_lower=True)  # j >= i
     utri_strict = _tri(chunk, strict_lower=False)  # j > i
 
+    def rdma(j, slot):
+        off = pl.multiple_of(c0 + j * chunk, chunk)
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(off, chunk)], buf.at[slot], sem.at[slot]
+        )
+
+    def wdma(j, slot):
+        ooff = pl.multiple_of(obase + j * chunk, chunk)
+        return pltpu.make_async_copy(
+            gbuf.at[slot], dpairs_ref.at[:, pl.ds(ooff, chunk)], osem.at[slot]
+        )
+
+    # Back-to-front traversal; reads double-buffered, writes overlapped.
+    @pl.when(nchunks > 0)
+    def _():
+        rdma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).start()
+
     def body(rev, carry):
         t_after, r_after = carry
         i = nchunks - 1 - rev
-        off = pl.multiple_of(start + i * chunk, chunk)
-        cp = pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(off, chunk)], buf, sem
-        )
-        cp.start()
-        cp.wait()
-        d = jnp.transpose(buf[:])  # [chunk, PACK_COLS]
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i - 1 >= 0)
+        def _():
+            rdma(i - 1, jax.lax.rem(i - 1, 2)).start()
+
+        rdma(i, slot).wait()
+        d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS]
+        base = c0 + i * chunk
         processed = (i.astype(jnp.float32) < i_end_f)  # [1, P], uniform
 
-        alpha, aux = _alpha_terms(d, px, py, i, chunk, n)
+        alpha, aux = _alpha_terms(d, px, py, start - base, end - base, chunk)
         logs = jnp.log1p(-alpha)
         inv1m = 1.0 / (1.0 - alpha)
         # Transmittance before each gaussian: T_k = t_after * exp(-suffix_incl)
@@ -255,20 +288,27 @@ def _bwd_kernel(
         dmx = jnp.sum(-dsig * (aux["ca"] * dx + aux["cb"] * dy), axis=1, keepdims=True)
         dmy = jnp.sum(-dsig * (aux["cc"] * dy + aux["cb"] * dx), axis=1, keepdims=True)
 
+        # Tag each record with its gaussian id + in-range validity so the
+        # XLA side can sort records by gaussian for the segment reduction.
+        k = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        inrange = ((k >= start - base) & (k < end - base)).astype(jnp.float32)
         grec = jnp.concatenate(
             [
                 dmx, dmy, dca, dcb, dcc, dopa,
                 dcols,  # dr, dg, db at PACK_R..PACK_B, ddepth at PACK_DEPTH
-                jnp.zeros((chunk, PACK_COLS - 10), jnp.float32),
+                d[:, PACK_GID : PACK_GID + 1],
+                inrange,
+                jnp.zeros((chunk, PACK_COLS - 12), jnp.float32),
             ],
             axis=1,
         )
-        gbuf[:] = jnp.transpose(grec)
-        ocp = pltpu.make_async_copy(
-            gbuf, dpairs_ref.at[:, pl.ds(off, chunk)], osem
-        )
-        ocp.start()
-        ocp.wait()
+        # Reuse of a gbuf slot must wait for its previous write to drain.
+        @pl.when(rev >= 2)
+        def _():
+            wdma(i + 2, slot).wait()
+
+        gbuf[slot] = jnp.transpose(grec)
+        wdma(i, slot).start()
 
         t_next = jnp.where(
             processed, t_after * jnp.exp(-jnp.sum(logs, axis=0, keepdims=True)), t_after
@@ -283,6 +323,15 @@ def _bwd_kernel(
         (tfin, jnp.zeros((1, pixels), jnp.float32)),
     )
 
+    # Drain outstanding writes (the last two chunks processed are i=1, i=0).
+    @pl.when(nchunks >= 2)
+    def _():
+        wdma(1, 1).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        wdma(0, 0).wait()
+
 
 @functools.partial(
     jax.jit,
@@ -293,7 +342,7 @@ def _composite_fwd_call(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, OUT_ROWS, pixels), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, PACK_COLS, chunk), jnp.float32),
@@ -313,26 +362,27 @@ def _composite_fwd_call(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_tiles", "ntx", "nty", "tile", "chunk"),
+    static_argnames=("num_tiles", "ntx", "nty", "tile", "chunk", "cap_pad"),
 )
 def _composite_bwd_call(
-    packed, tile_starts, fwd_out, g_out, num_tiles, ntx, nty, tile, chunk
+    packed, tile_starts, out_starts, fwd_out, g_out,
+    num_tiles, ntx, nty, tile, chunk, cap_pad,
 ):
     pixels = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, OUT_ROWS, pixels), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, OUT_ROWS, pixels), lambda i, *_: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((PACK_COLS, chunk), jnp.float32),
-            pltpu.VMEM((PACK_COLS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, PACK_COLS, chunk), jnp.float32),
+            pltpu.VMEM((2, PACK_COLS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
@@ -341,45 +391,104 @@ def _composite_bwd_call(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((PACK_COLS, cap_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(tile_starts, packed, fwd_out, g_out)
+    )(tile_starts, out_starts, packed, fwd_out, g_out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def composite_pairs(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
-    """Composite sorted packed pairs into per-tile images.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def render_tiles(
+    table, pair_dummy, gid_sorted, tile_starts, out_starts,
+    offsets, counts, num_tiles, ntx, nty, tile, chunk,
+):
+    """Gather the per-gaussian table into sorted pair rows and composite.
+
+    Fusing the pack gather with compositing keeps the VJP contract
+    per-gaussian: backward runs the Pallas kernel into aligned per-pair
+    records, sorts them by the gaussian id they carry, and reduces the
+    presort-contiguous segments straight to per-gaussian rows (cumsum +
+    boundary diff) — no per-pair cotangent ever crosses the op boundary.
 
     Args:
-      packed: [PACK_COLS, CAP_PAD] f32 sorted pair attributes, attribute-major
-        with chunk-aligned tile ranges (tiles.pack_pairs output).
-      tile_starts: [num_tiles + 1] int32 pair-range offsets.
+      table: [C*N, PACK_COLS] f32 per-gaussian attribute rows
+        (tiles.pack_table output; PACK_GID carries the row id).
+      pair_dummy: [C*N, 2] f32 — **must be zeros**: a gradient tap whose
+        cotangent is the per-gaussian sum of |dmx|, |dmy| over its pairs
+        (the JAX equivalent of gsplat's absgrad densification signal).
+      gid_sorted / tile_starts / out_starts / offsets / counts:
+        binning arrays (tiles.bin_gaussians output), non-differentiable.
     Returns:
       out [num_tiles, OUT_ROWS, tile*tile] f32 (rows: r, g, b, acc, depth,
       T_final, chunks-processed; the last two rows are non-differentiable
       bookkeeping).
     """
-    return _composite_fwd(packed, tile_starts, num_tiles, ntx, nty, tile, chunk)[0]
+    return _render_fwd(
+        table, pair_dummy, gid_sorted, tile_starts, out_starts,
+        offsets, counts, num_tiles, ntx, nty, tile, chunk,
+    )[0]
 
 
-def _composite_fwd(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
+def _render_fwd(
+    table, pair_dummy, gid_sorted, tile_starts, out_starts,
+    offsets, counts, num_tiles, ntx, nty, tile, chunk,
+):
+    del pair_dummy  # zeros by contract; see docstring
+    # XLA fuses the transpose into the gather, producing the attribute-major
+    # physical layout directly (minor dim = pairs, no lane padding).
+    packed = jnp.transpose(jnp.take(table, gid_sorted, axis=0, mode="clip"))
     out = _composite_fwd_call(
         packed, tile_starts, num_tiles, ntx, nty, tile, chunk
     )
-    return out, (packed, tile_starts, out)
+    res = (packed, tile_starts, out_starts, offsets, counts, out)
+    return out, res
 
 
-def _composite_bwd(num_tiles, ntx, nty, tile, chunk, res, g_out):
-    packed, tile_starts, out = res
-    dpacked = _composite_bwd_call(
-        packed, tile_starts, out, g_out, num_tiles, ntx, nty, tile, chunk
+def _render_bwd(num_tiles, ntx, nty, tile, chunk, res, g_out):
+    packed, tile_starts, out_starts, offsets, counts, out = res
+    pair_cap = packed.shape[1]
+    cap_pad = padded_capacity(pair_cap, num_tiles, chunk)
+    records = _composite_bwd_call(
+        packed, tile_starts, out_starts, out, g_out,
+        num_tiles, ntx, nty, tile, chunk, cap_pad,
+    )  # [PACK_COLS, CAP_PAD] per-pair grads in aligned bwd-slot layout
+    # Sort records by the gaussian id they carry; valid pairs land grouped
+    # per gaussian in presort order (gids were assigned in presort order),
+    # garbage slots (never written / masked rows) sort to the end.
+    written = jnp.arange(cap_pad, dtype=jnp.int32) < out_starts[-1]
+    valid = written & (records[PACK_VALID] > 0.5)
+    key = jnp.where(
+        valid,
+        jax.lax.bitcast_convert_type(records[PACK_GID], jnp.int32),
+        jnp.int32(2**31 - 1),
     )
-    dstarts = np.zeros(tile_starts.shape, dtype=jax.dtypes.float0)
-    return dpacked, dstarts
+    sorted_ops = jax.lax.sort(
+        (key,)
+        + tuple(records[i] for i in range(10))
+        + (jnp.abs(records[PACK_MX]), jnp.abs(records[PACK_MY])),
+        num_keys=1,
+    )
+    dpre = jnp.stack(sorted_ops[1:], axis=0)  # [12, CAP_PAD]
+    # Under pair-capacity overflow the dropped pairs are exactly the presort
+    # tail, so clip the per-gaussian segments to the surviving range.
+    offs2 = jnp.minimum(offsets, pair_cap)
+    cnt2 = jnp.minimum(offsets + counts, pair_cap) - offs2
+    red = segment_reduce_presort(dpre, offs2, cnt2)  # [C*N, 12]
+    dtable = jnp.pad(red[:, :10], ((0, 0), (0, PACK_COLS - 10)))
+    dpair_dummy = red[:, 10:12]
+    f0 = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
+    return (
+        dtable,
+        dpair_dummy,
+        f0((pair_cap,)),  # gid_sorted
+        f0(tile_starts.shape),
+        f0(out_starts.shape),
+        f0(offsets.shape),
+        f0(counts.shape),
+    )
 
 
-composite_pairs.defvjp(_composite_fwd, _composite_bwd)
+render_tiles.defvjp(_render_fwd, _render_bwd)
 
 
 def unpack_tiles(

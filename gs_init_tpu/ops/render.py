@@ -16,10 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from .projection import project_gaussians
-from .rasterize import composite_pairs, unpack_tiles
+from .rasterize import render_tiles, unpack_tiles
 from .rasterize_ref import rasterize_reference
 from .sh import sh_to_color
-from .tiles import bin_gaussians, pack_pairs
+from .tiles import bin_gaussians, pack_table
 
 
 class RenderInfo(NamedTuple):
@@ -54,7 +54,7 @@ def rasterize(
     chunk_size: int = 128,
     alive: Optional[jnp.ndarray] = None,  # [N] bool capacity mask
     means2d_dummy: Optional[jnp.ndarray] = None,  # [C, N, 2] zeros; grad taps
-    pair_dummy: Optional[jnp.ndarray] = None,  # [2, CAP_PAD] zeros; absgrad
+    pair_dummy: Optional[jnp.ndarray] = None,  # [C*N, 2] zeros; absgrad tap
     impl: str = "auto",
     pixel_chunk: int = 4096,
 ):
@@ -121,18 +121,22 @@ def rasterize(
             pair_capacity,
             chunk=chunk_size,
         )
-        packed = pack_pairs(
-            binning, means2d, proj.conics, proj.opacities, cam_colors, proj.depths
+        table = pack_table(
+            means2d, proj.conics, proj.opacities, cam_colors, proj.depths
         )
-        if pair_dummy is not None:
-            # Per-pair screen-position gradient taps: d(loss)/d(pair_dummy)
-            # is the per-pair (dmx, dmy) record, reducible with
-            # tiles.segment_reduce_pairs for absgrad densification stats.
-            packed = packed.at[0:2, :].add(pair_dummy)
         num_tiles = num_cams * binning.num_tiles_x * binning.num_tiles_y
-        out = composite_pairs(
-            packed,
+        if pair_dummy is None:
+            # Zeros tap required by render_tiles' VJP contract; XLA folds
+            # the constant, and its cotangent is unused on this path.
+            pair_dummy = jnp.zeros((table.shape[0], 2), jnp.float32)
+        out = render_tiles(
+            table,
+            pair_dummy,
+            binning.gid_sorted,
             binning.tile_starts,
+            binning.out_starts,
+            binning.gauss_offsets,
+            binning.gauss_counts,
             num_tiles,
             binning.num_tiles_x,
             binning.num_tiles_y,

@@ -11,12 +11,19 @@ CUDA kernels. Design (no atomics, no dynamic allocation):
 4. lexicographic ``lax.sort`` by (tile_id, depth) with the flattened
    (camera*gaussian) index as payload
 5. per-tile ranges via one-shot comparisons (``searchsorted`` compare_all)
-6. ranges re-gathered into a *chunk-aligned* layout (Mosaic requires
-   128-aligned offsets when DMA-slicing the minor dim of an HBM buffer)
 
-The pair list is then gathered into a packed [PACK_COLS, CAP_PAD] f32 array
-(one row-gather of a pre-packed per-gaussian attribute table, not ten
-separate gathers) that the Pallas compositor DMAs chunk-by-chunk.
+Pairs live in **sorted order, attribute-major** ([PACK_COLS, PAIR_CAP] f32,
+minor dim = pairs so XLA doesn't lane-pad the narrow attribute dim). Tile
+ranges stay *unaligned*; the Pallas compositor DMAs chunk-aligned windows
+starting at ``align_down(start)`` and masks pairs outside [start, end) —
+read overlap between adjacent tiles is a few KB. This removes the aligned
+re-gather layer (three 2.6M-element gathers/scatters, ~80 ms/step at garden
+scale in round 1). The backward kernel writes per-pair gradient records to
+*per-tile aligned output slots* (``out_starts``) so no two grid steps write
+the same chunk. The per-gaussian gradient reduction sorts the records by the
+gaussian id they carry (PACK_GID) — an 11-column sort measured ~4x cheaper
+than the index-gather alternative — then runs a cumsum + boundary difference
+over the resulting presort-contiguous segments (no scatter-add).
 """
 from __future__ import annotations
 
@@ -26,33 +33,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Column layout of the packed per-pair array consumed by the Pallas kernel.
+# Column layout of the packed per-pair row consumed by the Pallas kernel.
 PACK_MX, PACK_MY = 0, 1
 PACK_CA, PACK_CB, PACK_CC = 2, 3, 4
 PACK_OPA = 5
 PACK_R, PACK_G, PACK_B = 6, 7, 8
 PACK_DEPTH = 9
+PACK_GID = 10  # gaussian id (int32 bits viewed as f32), rides the gathers
+PACK_VALID = 11  # 1.0 for in-range pairs (written by the backward kernel)
 PACK_COLS = 16  # padded for aligned DMA
 
 
 class TileBinning(NamedTuple):
-    """Pair list in *chunk-aligned* layout.
+    """Sorted pair list with unaligned tile ranges + aligned output slots."""
 
-    Every tile's pair range [tile_starts[t], tile_starts[t+1]) starts at a
-    multiple of the compositor chunk (and is chunk-sized-padded), so the
-    Pallas kernel's DMA slices are lane-aligned. Padding slots inside a range
-    have ``pair_valid=False`` and zeroed attributes.
-    """
-
-    pair_gid: jnp.ndarray  # [CAP_PAD] int32 flattened (cam*N + gaussian) id
-    pair_valid: jnp.ndarray  # [CAP_PAD] bool
-    tile_starts: jnp.ndarray  # [num_tiles + 1] int32, all chunk-aligned
+    gid_sorted: jnp.ndarray  # [PAIR_CAP] int32 flattened (cam*N + gaussian)
+    tile_starts: jnp.ndarray  # [num_tiles + 1] int32 sorted-order ranges
+    out_starts: jnp.ndarray  # [num_tiles + 1] int32 chunk-aligned bwd slots
     num_tiles_x: int
     num_tiles_y: int
     overflow: jnp.ndarray  # [] int32: pairs dropped due to capacity
-    # Pre-sort bookkeeping for the gather-free pack backward (see pack_pairs):
-    pair_inv: jnp.ndarray  # [PAIR_CAP] presort pair -> aligned slot (CAP_PAD
-    #                         = dropped), int32
+    # Per-gaussian presort segment [offset, offset+count) for the sort-based
+    # backward reduction (see rasterize.render_tiles).
     gauss_offsets: jnp.ndarray  # [C*N] exclusive prefix of per-gaussian pairs
     gauss_counts: jnp.ndarray  # [C*N]
 
@@ -97,7 +99,7 @@ def _segment_ids_from_offsets(offsets: jnp.ndarray, total: jnp.ndarray, cap: int
 
 
 def padded_capacity(pair_capacity: int, num_tiles: int, chunk: int) -> int:
-    """Static capacity of the chunk-aligned pair layout."""
+    """Static capacity of the backward kernel's aligned-slot output."""
     cap = pair_capacity + num_tiles * (chunk - 1)
     return -(-cap // chunk) * chunk
 
@@ -112,6 +114,7 @@ def bin_gaussians(
     pair_capacity: int,
     chunk: int = 128,
 ) -> TileBinning:
+    assert pair_capacity % chunk == 0, "pair_capacity must be chunk-aligned"
     c, n = radii.shape
     m2 = means2d.reshape(c * n, 2)
     rad = radii.reshape(c * n)
@@ -147,8 +150,8 @@ def bin_gaussians(
     tile = cam * tiles_per_cam + ty * ntx + tx
     tile = jnp.where(pair_valid, tile, num_tiles)  # sentinel sorts to the end
 
-    tile_s, _, gid_s, presort_s = jax.lax.sort(
-        (tile, g[:, 4], pair_gid, idx), num_keys=2
+    tile_s, _, gid_s = jax.lax.sort(
+        (tile, g[:, 4], pair_gid), num_keys=2
     )
 
     starts = jnp.searchsorted(
@@ -157,152 +160,84 @@ def bin_gaussians(
         side="left",
         method="compare_all",
     ).astype(jnp.int32)
+
+    # Backward-output slot bases: tile t's kernel reads/writes chunks
+    # covering [align_down(start), end); its records land at
+    # [out_starts[t], out_starts[t] + nchunk*chunk). Static bound:
+    # sum(nchunk*chunk) <= total_valid + num_tiles*(chunk-1) <= CAP_PAD.
+    read_base = (starts[:-1] // chunk) * chunk
     tile_counts = starts[1:] - starts[:-1]
-
-    # Re-gather into the chunk-aligned layout.
-    cap_pad = padded_capacity(pair_capacity, num_tiles, chunk)
-    counts_pad = -(-tile_counts // chunk) * chunk
-    astarts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_pad).astype(jnp.int32)]
+    nchunk = jnp.where(
+        tile_counts > 0, -((read_base - starts[1:]) // chunk), 0
     )
-    slot_tile, _ = _segment_ids_from_offsets(astarts[:-1], astarts[-1], cap_pad)
-    slot_tile = jnp.minimum(slot_tile, num_tiles - 1)
-    slot = jnp.arange(cap_pad, dtype=jnp.int32)
-    # One gather of the packed per-tile table instead of three.
-    tile_tbl = jnp.stack([astarts[:-1], tile_counts, starts[:-1]], axis=1)
-    tt = tile_tbl[slot_tile]  # [CAP_PAD, 3]
-    off = slot - tt[:, 0]
-    aligned_valid = (off < tt[:, 1]) & (slot < astarts[-1])
-    src = jnp.clip(tt[:, 2] + off, 0, pair_capacity - 1)
-    pair_gid_a = jnp.where(aligned_valid, gid_s[src], 0)
+    out_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nchunk * chunk)]
+    ).astype(jnp.int32)
 
-    # Inverse permutation presort-pair -> aligned slot (CAP_PAD = dropped):
-    # enables the pack backward to reduce per-pair cotangents with a cumsum
-    # over the *contiguous* presort order instead of a scatter-add.
-    pair_presort = presort_s[src]
-    pair_inv = (
-        jnp.full((pair_capacity,), cap_pad, jnp.int32)
-        .at[jnp.where(aligned_valid, pair_presort, pair_capacity)]
-        .set(slot, mode="drop")
-    )
-
-    overflow = jnp.maximum(total - pair_capacity, 0).astype(jnp.int32) + (
-        jnp.maximum(astarts[-1] - cap_pad, 0)
-    )
-    astarts = jnp.minimum(astarts, cap_pad)  # keep kernel DMA in bounds
+    overflow = jnp.maximum(total - pair_capacity, 0).astype(jnp.int32)
     return TileBinning(
-        pair_gid=pair_gid_a,
-        pair_valid=aligned_valid,
-        tile_starts=astarts,
+        gid_sorted=gid_s,
+        tile_starts=starts,
+        out_starts=out_starts,
         num_tiles_x=ntx,
         num_tiles_y=nty,
         overflow=overflow,
-        pair_inv=pair_inv,
         gauss_offsets=offsets,
         gauss_counts=counts,
     )
 
 
-def _pack_impl(pair_gid, pair_valid, table):
-    rows = table[pair_gid].T  # [10, CAP_PAD]
-    rows = jnp.pad(rows, ((0, PACK_COLS - rows.shape[0]), (0, 0)))
-    # Zero attributes of invalid (overflow/padding) pairs so the kernel's
-    # chunk math is inert for them regardless of tile ranges.
-    return jnp.where(pair_valid[None, :], rows, 0.0)
-
-
-@jax.custom_vjp
-def _pack_from_table(pair_gid, pair_valid, pair_inv, offsets, counts, table):
-    return _pack_impl(pair_gid, pair_valid, table)
-
-
-def _pack_fwd(pair_gid, pair_valid, pair_inv, offsets, counts, table):
-    out = _pack_impl(pair_gid, pair_valid, table)
-    return out, (pair_inv, offsets, counts, table.shape)
-
-
-def _pack_bwd(res, ct):
-    """Segment-reduce per-pair cotangents to per-gaussian rows WITHOUT a
-    scatter-add: pairs of one gaussian are contiguous in presort order
-    ([offsets[g], offsets[g]+counts[g])), so gather the cotangents into
-    presort order via the precomputed inverse permutation, cumsum along
-    pairs, and difference at segment boundaries. XLA's scatter-add here is
-    ~10x slower (column-major strided) at garden scale."""
-    pair_inv, offsets, counts, tshape = res
-    pair_cap = pair_inv.shape[0]
-    ct10 = ct[:10]  # [10, CAP_PAD]
-    # Dropped pairs (inv == CAP_PAD) read zero.
-    dpre = jnp.take(ct10, pair_inv, axis=1, mode="fill", fill_value=0.0)
-    cum = jnp.cumsum(dpre, axis=1)  # [10, PAIR_CAP]
-    ends = jnp.clip(offsets + counts - 1, 0, pair_cap - 1)
-    hi = jnp.take(cum, ends, axis=1, mode="clip")
-    lo = jnp.where(
-        (offsets > 0)[None, :],
-        jnp.take(cum, jnp.maximum(offsets - 1, 0), axis=1, mode="clip"),
-        0.0,
-    )
-    seg = jnp.where((counts > 0)[None, :], hi - lo, 0.0)  # [10, C*N]
-    dtable = seg.T.reshape(tshape)
-    f0 = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
-    return (
-        f0((ct.shape[1],)),
-        f0((ct.shape[1],)),
-        f0((pair_cap,)),
-        f0(offsets.shape),
-        f0(counts.shape),
-        dtable,
-    )
-
-
-_pack_from_table.defvjp(_pack_fwd, _pack_bwd)
-
-
-def pack_pairs(
-    binning: TileBinning,
+def pack_table(
     means2d: jnp.ndarray,  # [C, N, 2]
     conics: jnp.ndarray,  # [C, N, 3]
     opacities: jnp.ndarray,  # [C, N]
     colors: jnp.ndarray,  # [C, N, 3]
     depths: jnp.ndarray,  # [C, N]
 ) -> jnp.ndarray:
-    """Gather per-pair gaussian attributes into [PACK_COLS, CAP_PAD] f32.
+    """Pack per-gaussian attributes into [C*N, PACK_COLS] f32 rows.
 
-    Attribute-major (transposed) so the kernel's chunked DMA slices the lane
-    dimension at chunk-aligned offsets. The per-gaussian attribute table is
-    packed once ([C*N, 10]) and gathered with a single row-gather; the
-    backward is a cumsum-based segment reduction over the contiguous presort
-    pair order (see _pack_bwd) rather than XLA's scatter-add.
-    """
+    PACK_GID carries the row's own (cam*N + gaussian) id as raw int32 bits so
+    the backward kernel can tag gradient records for the sort-based
+    per-gaussian reduction."""
     c, n = opacities.shape
-    table = jnp.concatenate(
+    gid_bits = jax.lax.bitcast_convert_type(
+        jnp.arange(c * n, dtype=jnp.int32), jnp.float32
+    )
+    return jnp.concatenate(
         [
             means2d.reshape(c * n, 2),
             conics.reshape(c * n, 3),
             opacities.reshape(c * n, 1),
             colors.reshape(c * n, 3),
             depths.reshape(c * n, 1),
+            gid_bits[:, None],
+            jnp.zeros((c * n, PACK_COLS - 11), jnp.float32),
         ],
         axis=1,
-    )  # [C*N, 10]
-    return _pack_from_table(
-        binning.pair_gid,
-        binning.pair_valid,
-        binning.pair_inv,
-        binning.gauss_offsets,
-        binning.gauss_counts,
-        table,
     )
 
 
-def segment_reduce_pairs(vals: jnp.ndarray, binning: TileBinning) -> jnp.ndarray:
-    """Sum per-pair rows [R, CAP_PAD] into per-gaussian rows [C*N, R] using
-    the presort-contiguous cumsum reduction (same trick as the pack
-    backward — no scatter-add). Used e.g. for absgrad densification stats."""
-    pair_inv = binning.pair_inv
-    offsets = binning.gauss_offsets
-    counts = binning.gauss_counts
-    pair_cap = pair_inv.shape[0]
-    dpre = jnp.take(vals, pair_inv, axis=1, mode="fill", fill_value=0.0)
+def unpack_table_grads(dtable: jnp.ndarray, c: int, n: int):
+    """Split per-gaussian table cotangent back into attribute cotangents."""
+    d = dtable.reshape(c, n, PACK_COLS)
+    return (
+        d[..., PACK_MX : PACK_MY + 1],  # dmeans2d [C,N,2]
+        d[..., PACK_CA : PACK_CC + 1],  # dconics [C,N,3]
+        d[..., PACK_OPA],  # dopacities [C,N]
+        d[..., PACK_R : PACK_B + 1],  # dcolors [C,N,3]
+        d[..., PACK_DEPTH],  # ddepths [C,N]
+    )
+
+
+def segment_reduce_presort(
+    dpre: jnp.ndarray,  # [R, PAIR_CAP] cotangents in presort pair order
+    offsets: jnp.ndarray,  # [C*N]
+    counts: jnp.ndarray,  # [C*N]
+) -> jnp.ndarray:
+    """Sum presort-contiguous per-pair columns into per-gaussian rows
+    [C*N, R] with a cumsum + boundary difference — no scatter-add (XLA's
+    scatter-add here is ~10x slower, measured at garden scale)."""
+    pair_cap = dpre.shape[1]
     cum = jnp.cumsum(dpre, axis=1)
     ends = jnp.clip(offsets + counts - 1, 0, pair_cap - 1)
     hi = jnp.take(cum, ends, axis=1, mode="clip")
@@ -312,3 +247,6 @@ def segment_reduce_pairs(vals: jnp.ndarray, binning: TileBinning) -> jnp.ndarray
         0.0,
     )
     return jnp.where((counts > 0)[None, :], hi - lo, 0.0).T
+
+
+

@@ -34,11 +34,11 @@ from ..engine.params import GaussianState
 from ..engine.strategy import default as default_strategy
 from ..engine.train_step import Batch, sh_coeff_mask
 from ..ops.projection import project_gaussians, Projected
-from ..ops.rasterize import composite_pairs, unpack_tiles
+from ..ops.rasterize import render_tiles, unpack_tiles
 from ..ops.rasterize_ref import rasterize_reference
 from ..ops.sh import sh_to_color
 from ..ops.ssim import ssim
-from ..ops.tiles import bin_gaussians, pack_pairs
+from ..ops.tiles import bin_gaussians, pack_table
 
 
 def make_mesh(n_data: int, n_gauss: int, devices=None) -> Mesh:
@@ -110,12 +110,14 @@ def make_sharded_train_step(cfg, acfg: AdamConfig, width: int, height: int, mesh
                 means2d, radii, depths, width, height,
                 cfg.tile_size, cfg.pair_capacity, chunk=cfg.chunk_size,
             )
-            packed = pack_pairs(binning, means2d, conics, opac2d, colors, depths)
+            table = pack_table(means2d, conics, opac2d, colors, depths)
             num_cams = viewmats.shape[0]
             num_tiles = num_cams * binning.num_tiles_x * binning.num_tiles_y
-            out = composite_pairs(
-                packed, binning.tile_starts, num_tiles,
-                binning.num_tiles_x, binning.num_tiles_y,
+            out = render_tiles(
+                table, jnp.zeros((table.shape[0], 2), jnp.float32),
+                binning.gid_sorted, binning.tile_starts, binning.out_starts,
+                binning.gauss_offsets, binning.gauss_counts,
+                num_tiles, binning.num_tiles_x, binning.num_tiles_y,
                 cfg.tile_size, cfg.chunk_size,
             )
             color, alpha, _ = unpack_tiles(

@@ -157,7 +157,7 @@ def test_metric3d_forward(rng):
     from gs_init_tpu.mdi.predictors.metric3d import Metric3DPredictor
     from gs_init_tpu.mdi.predictors.interface import CameraIntrinsics
 
-    pred = Metric3DPredictor(backbone="small")
+    pred = Metric3DPredictor(backbone="small", allow_random_weights=True)
     imgs = rng.uniform(0, 1, (1, 30, 44, 3)).astype(np.float32)
     intr = [CameraIntrinsics(fx=100.0, fy=100.0, cx=22.0, cy=15.0)]
     outs = pred.predict_depth_batch(imgs, intr)

@@ -42,30 +42,32 @@ def test_binning_invariants(rng):
     ntiles = b.num_tiles_x * b.num_tiles_y
     assert b.num_tiles_x == 5 and b.num_tiles_y == 4
     starts = np.asarray(b.tile_starts)
+    ostarts = np.asarray(b.out_starts)
     assert (np.diff(starts) >= 0).all()
-    assert (starts % chunk == 0).all()  # aligned layout invariant
+    assert (ostarts % chunk == 0).all()  # bwd output slots are aligned
     assert int(b.overflow) == 0
-    gid = np.asarray(b.pair_gid)
-    valid = np.asarray(b.pair_valid)
+    gid = np.asarray(b.gid_sorted)
     m2 = np.asarray(proj.means2d[0])
     rad = np.asarray(proj.radii[0])
     dep = np.asarray(proj.depths[0])
-    n_valid = 0
+    offs = np.asarray(b.gauss_offsets)
+    cnts = np.asarray(b.gauss_counts)
+    n_valid = int(starts[-1])
     for t in range(ntiles):
         seg = slice(starts[t], starts[t + 1])
-        seg_valid = valid[seg]
-        # Valid pairs are contiguous at the front of each aligned range.
-        k = int(seg_valid.sum())
-        n_valid += k
-        assert seg_valid[:k].all() and not seg_valid[k:].any()
         tx, ty = t % b.num_tiles_x, t // b.num_tiles_x
-        for g in gid[seg][:k]:
+        for g in gid[seg]:
             # Every valid pair's gaussian overlaps its tile's bbox.
             assert m2[g, 0] + rad[g] >= tx * 16 and m2[g, 0] - rad[g] <= (tx + 1) * 16
             assert m2[g, 1] + rad[g] >= ty * 16 and m2[g, 1] - rad[g] <= (ty + 1) * 16
         # Depth-sorted within each tile.
-        assert (np.diff(dep[gid[seg][:k]]) >= 0).all()
-    assert n_valid == int(valid.sum())
+        assert (np.diff(dep[gid[seg]]) >= 0).all()
+        # Backward-slot mapping: aligned window covers the range, 1:1 slots.
+        nchunk = (ostarts[t + 1] - ostarts[t]) // chunk
+        assert nchunk * chunk >= starts[t + 1] - (starts[t] // chunk) * chunk
+    # Presort segments cover the valid pairs exactly.
+    assert n_valid == int(cnts.sum())
+    assert (offs[1:] == np.cumsum(cnts)[:-1]).all()
     # Total pair count matches the per-gaussian tile span sum.
     spans = 0
     for g in range(len(rad)):
@@ -81,13 +83,14 @@ def test_binning_invariants(rng):
 def test_binning_overflow_reported(rng):
     means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=64)
     proj = project_gaussians(means, quats, scales, opac, viewmats, Ks, W, H)
-    b = bin_gaussians(proj.means2d, proj.radii, proj.depths, W, H, 16, 64)
+    b = bin_gaussians(proj.means2d, proj.radii, proj.depths, W, H, 16, 128)
     from gs_init_tpu.ops.tiles import padded_capacity
 
-    cap_pad = padded_capacity(64, b.num_tiles_x * b.num_tiles_y, 128)
+    cap_pad = padded_capacity(128, b.num_tiles_x * b.num_tiles_y, 128)
     assert int(b.overflow) > 0
-    assert int(b.tile_starts[-1]) <= cap_pad
-    assert int(np.asarray(b.pair_valid).sum()) <= 64
+    assert int(b.tile_starts[-1]) <= 128
+    assert int(b.out_starts[-1]) <= cap_pad
+
 
 
 def _render_both(rng, n=48, render_mode="RGB", bg=None, antialiased=False):
