@@ -397,10 +397,11 @@ def _composite_bwd_call(
     )(tile_starts, out_starts, packed, fwd_out, g_out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def render_tiles(
     table, pair_dummy, gid_sorted, tile_starts, out_starts,
     offsets, counts, num_tiles, ntx, nty, tile, chunk,
+    want_depth_grad=True, want_absgrad=True,
 ):
     """Gather the per-gaussian table into sorted pair rows and composite.
 
@@ -426,12 +427,14 @@ def render_tiles(
     return _render_fwd(
         table, pair_dummy, gid_sorted, tile_starts, out_starts,
         offsets, counts, num_tiles, ntx, nty, tile, chunk,
+        want_depth_grad, want_absgrad,
     )[0]
 
 
 def _render_fwd(
     table, pair_dummy, gid_sorted, tile_starts, out_starts,
     offsets, counts, num_tiles, ntx, nty, tile, chunk,
+    want_depth_grad=True, want_absgrad=True,
 ):
     del pair_dummy  # zeros by contract; see docstring
     # XLA fuses the transpose into the gather, producing the attribute-major
@@ -444,7 +447,10 @@ def _render_fwd(
     return out, res
 
 
-def _render_bwd(num_tiles, ntx, nty, tile, chunk, res, g_out):
+def _render_bwd(
+    num_tiles, ntx, nty, tile, chunk, want_depth_grad, want_absgrad,
+    res, g_out,
+):
     packed, tile_starts, out_starts, offsets, counts, out = res
     pair_cap = packed.shape[1]
     cap_pad = padded_capacity(pair_cap, num_tiles, chunk)
@@ -462,20 +468,24 @@ def _render_bwd(num_tiles, ntx, nty, tile, chunk, res, g_out):
         jax.lax.bitcast_convert_type(records[PACK_GID], jnp.int32),
         jnp.int32(2**31 - 1),
     )
-    sorted_ops = jax.lax.sort(
-        (key,)
-        + tuple(records[i] for i in range(10))
-        + (jnp.abs(records[PACK_MX]), jnp.abs(records[PACK_MY])),
-        num_keys=1,
-    )
-    dpre = jnp.stack(sorted_ops[1:], axis=0)  # [12, CAP_PAD]
+    n_base = 10 if want_depth_grad else 9  # ddepth column optional
+    ops = tuple(records[i] for i in range(n_base))
+    if want_absgrad:
+        ops = ops + (jnp.abs(records[PACK_MX]), jnp.abs(records[PACK_MY]))
+    sorted_ops = jax.lax.sort((key,) + ops, num_keys=1)
+    dpre = jnp.stack(sorted_ops[1:], axis=0)  # [R, CAP_PAD]
     # Under pair-capacity overflow the dropped pairs are exactly the presort
     # tail, so clip the per-gaussian segments to the surviving range.
     offs2 = jnp.minimum(offsets, pair_cap)
     cnt2 = jnp.minimum(offsets + counts, pair_cap) - offs2
-    red = segment_reduce_presort(dpre, offs2, cnt2)  # [C*N, 12]
-    dtable = jnp.pad(red[:, :10], ((0, 0), (0, PACK_COLS - 10)))
-    dpair_dummy = red[:, 10:12]
+    red = segment_reduce_presort(dpre, offs2, cnt2)  # [C*N, R]
+    dtable = jnp.pad(
+        red[:, :n_base], ((0, 0), (0, PACK_COLS - n_base))
+    )
+    if want_absgrad:
+        dpair_dummy = red[:, n_base : n_base + 2]
+    else:
+        dpair_dummy = jnp.zeros((red.shape[0], 2), red.dtype)
     f0 = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
     return (
         dtable,

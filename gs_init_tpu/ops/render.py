@@ -125,6 +125,7 @@ def rasterize(
             means2d, proj.conics, proj.opacities, cam_colors, proj.depths
         )
         num_tiles = num_cams * binning.num_tiles_x * binning.num_tiles_y
+        want_absgrad = pair_dummy is not None
         if pair_dummy is None:
             # Zeros tap required by render_tiles' VJP contract; XLA folds
             # the constant, and its cotangent is unused on this path.
@@ -142,6 +143,8 @@ def rasterize(
             binning.num_tiles_y,
             tile_size,
             chunk_size,
+            render_mode == "RGB+ED",
+            want_absgrad,
         )
         color, alpha, depth_acc = unpack_tiles(
             out, num_cams, binning.num_tiles_x, binning.num_tiles_y,

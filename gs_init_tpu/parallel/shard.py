@@ -118,7 +118,7 @@ def make_sharded_train_step(cfg, acfg: AdamConfig, width: int, height: int, mesh
                 binning.gid_sorted, binning.tile_starts, binning.out_starts,
                 binning.gauss_offsets, binning.gauss_counts,
                 num_tiles, binning.num_tiles_x, binning.num_tiles_y,
-                cfg.tile_size, cfg.chunk_size,
+                cfg.tile_size, cfg.chunk_size, False, False,
             )
             color, alpha, _ = unpack_tiles(
                 out, num_cams, binning.num_tiles_x, binning.num_tiles_y,
