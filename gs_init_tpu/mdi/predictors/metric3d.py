@@ -43,23 +43,28 @@ class Metric3DNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        """x: [B, 616, 1064, 3] normalized -> (depth, conf, normal)."""
+        """x: [B, 616, 1064, 3] normalized -> (depth, conf, normal).
+
+        The vendored ViT feeds the SAME final-layer normed tokens to all
+        four pyramid reads (ViT_DINO_reg.py forward_features: ``features =
+        [x_norm] * 4``), not four intermediate layers."""
         vit_name = BACKBONES[self.backbone]
         vcfg = VIT_CONFIGS[vit_name]
         patches, prefixes = DinoViT(
             dim=vcfg["dim"],
             depth=vcfg["depth"],
             num_heads=vcfg["num_heads"],
-            out_layers=vcfg["out_layers"],
+            out_layers=(vcfg["depth"] - 1,),
             num_register_tokens=4,
+            pos_interp="torch",
             name="encoder",
         )(x)
         b = x.shape[0]
-        learns = [
-            p.reshape(b, 1, 1, -1) for p in prefixes
-        ]  # [B,1,1,(1+reg)*C]
+        learn = prefixes[0].reshape(b, 1, 1, -1)  # [B,1,1,(1+reg)*C]
         rcfg = RAFT_CONFIGS[self.backbone]
-        return RAFTDepthNormalDecoder(name="decoder", **rcfg)(patches, learns)
+        return RAFTDepthNormalDecoder(name="decoder", **rcfg)(
+            [patches[0]] * 4, [learn] * 4
+        )
 
 
 class Metric3DPredictor:

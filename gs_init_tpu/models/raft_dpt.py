@@ -27,17 +27,28 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def _resize(x, hw, method="bilinear"):
+def _resize(x, hw, method="bilinear", scale=None):
     if method == "bilinear":
         # torch align_corners=True semantics (interpolate_float32 in the
         # reference decoder).
         from .dpt import _resize as _resize_ac
 
         return _resize_ac(x, hw)
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, hw[0], hw[1], c), method=method)
+    # torch mode='nearest' with an explicit scale_factor: src index =
+    # floor(dst / scale) — NOT jax.image.resize's half-pixel mapping.
+    h, w = x.shape[1], x.shape[2]
+    sy = scale if scale is not None else hw[0] / h
+    sx = scale if scale is not None else hw[1] / w
+    iy = jnp.asarray(
+        np.clip(np.floor(np.arange(hw[0]) / sy).astype(np.int32), 0, h - 1)
+    )
+    ix = jnp.asarray(
+        np.clip(np.floor(np.arange(hw[1]) / sx).astype(np.int32), 0, w - 1)
+    )
+    return x[:, iy][:, :, ix]
 
 
 def _pool2x(x):
@@ -80,20 +91,25 @@ class Token2Feature(nn.Module):
         # fractional scale: nearest upsample then 1x1 conv
         h = int(x.shape[1] * self.scale)
         w = int(x.shape[2] * self.scale)
-        x = _resize(x, (h, w), method="nearest")
+        x = _resize(x, (h, w), method="nearest", scale=self.scale)
         return nn.Conv(self.out, (1, 1), name="sample")(x)
 
 
 class ConvBlock(nn.Module):
+    """DPT conv block. NB: the reference's ``self.act = ReLU(inplace=True)``
+    mutates the residual input — ``out = act(x)`` aliases x — so the block
+    actually computes ``relu(x) + conv2(relu(conv1(relu(x))))`` (decoder
+    :547-577). The trained checkpoints bake in this behavior."""
+
     ch: int
 
     @nn.compact
     def __call__(self, x):
-        y = nn.relu(x)
-        y = nn.Conv(self.ch, (3, 3), padding=1, name="conv1")(y)
+        a = nn.relu(x)
+        y = nn.Conv(self.ch, (3, 3), padding=1, name="conv1")(a)
         y = nn.relu(y)
         y = nn.Conv(self.ch, (3, 3), padding=1, name="conv2")(y)
-        return x + y
+        return a + y
 
 
 class FuseBlock(nn.Module):
@@ -149,13 +165,17 @@ class ConvGRU(nn.Module):
 
 
 class FlowHead(nn.Module):
+    """Torch FlowHead(input_dim=hd, hidden_dim=2*hd): intermediate convs are
+    hidden_dim // 2 = hd wide (decoder :317-321)."""
+
     hidden: int
 
     @nn.compact
     def __call__(self, x):
-        d = nn.Conv(self.hidden, (3, 3), padding=1, name="conv1d")(x)
+        mid = self.hidden // 2
+        d = nn.Conv(mid, (3, 3), padding=1, name="conv1d")(x)
         d = nn.Conv(2, (3, 3), padding=1, name="conv2d")(nn.relu(d))
-        n = nn.Conv(self.hidden, (3, 3), padding=1, name="conv1n")(x)
+        n = nn.Conv(mid, (3, 3), padding=1, name="conv1n")(x)
         n = nn.Conv(4, (3, 3), padding=1, name="conv2n")(nn.relu(n))
         return jnp.concatenate([d, n], axis=-1)
 
@@ -237,8 +257,12 @@ class RAFTDepthNormalDecoder(nn.Module):
 
         flow = jnp.concatenate([depth_pred, depth_conf, normal_pred], axis=-1)
 
-        # Context features -> GRU hidden/context at 3 scales.
-        enc = [x0, x1, x2]
+        # Context features -> GRU hidden/context at 3 scales. NB: in the
+        # reference, decoder_mono's inplace ReLUs have already mutated the
+        # x1/x2 read outputs (way_branch act(x) aliases its input) by the
+        # time the context encoder runs, so it sees relu(x1), relu(x2) but
+        # raw x0 (decoder forward :906-934 + ConvBlock aliasing).
+        enc = [x0, nn.relu(x1), nn.relu(x2)]
         nets, inps = [], []
         for i, (f, dim) in enumerate(zip(enc, (hd, hd, hd))):
             h = ResidualBlock(dim, name=f"ctx_hidden_res_{i}")(f)

@@ -12,11 +12,38 @@ backbones); inference is batched and jitted by the caller.
 """
 from __future__ import annotations
 
+import math
 from typing import List, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def torch_bicubic_matrix(n_in: int, n_out: int, scale: float) -> np.ndarray:
+    """1D interpolation matrix W [n_out, n_in] matching torch
+    ``F.interpolate(mode='bicubic', align_corners=False)`` with an explicit
+    ``scale_factor``: src = (dst + 0.5) / scale - 0.5, cubic convolution
+    kernel A = -0.75, border taps clamped (replicate)."""
+    A = -0.75
+
+    def kern(d):
+        d = abs(d)
+        if d <= 1.0:
+            return (A + 2.0) * d**3 - (A + 3.0) * d**2 + 1.0
+        if d < 2.0:
+            return A * d**3 - 5.0 * A * d**2 + 8.0 * A * d - 4.0 * A
+        return 0.0
+
+    W = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        src = (i + 0.5) / scale - 0.5
+        f = math.floor(src)
+        frac = src - f
+        for j in range(-1, 3):
+            W[i, min(max(f + j, 0), n_in - 1)] += kern(j - frac)
+    return W.astype(np.float32)
 
 
 class Mlp(nn.Module):
@@ -85,6 +112,11 @@ class DinoViT(nn.Module):
     num_register_tokens: int = 0
     out_layers: Sequence[int] = (2, 5, 8, 11)
     pos_embed_size: int = 37  # grid side the checkpoint was trained with
+    # "resize" = jax.image.resize bicubic (A=-0.5, half-pixel); "torch" =
+    # exact torch bicubic with DINOv2's +interpolate_offset scale trick
+    # (vendored Metric3D ViT_DINO_reg.py interpolate_pos_encoding).
+    pos_interp: str = "resize"
+    interpolate_offset: float = 0.1
 
     @nn.compact
     def __call__(
@@ -116,9 +148,24 @@ class DinoViT(nn.Module):
             1, self.pos_embed_size, self.pos_embed_size, self.dim
         )
         if (ph, pw) != (self.pos_embed_size, self.pos_embed_size):
-            grid = jax.image.resize(
-                grid, (1, ph, pw, self.dim), method="bicubic"
-            )
+            if self.pos_interp == "torch":
+                n = self.pos_embed_size
+                wh = torch_bicubic_matrix(
+                    n, ph, (ph + self.interpolate_offset) / n
+                )
+                ww = torch_bicubic_matrix(
+                    n, pw, (pw + self.interpolate_offset) / n
+                )
+                grid = jnp.einsum(
+                    "hH,wW,bHWd->bhwd",
+                    jnp.asarray(wh),
+                    jnp.asarray(ww),
+                    grid,
+                )
+            else:
+                grid = jax.image.resize(
+                    grid, (1, ph, pw, self.dim), method="bicubic"
+                )
         x = x + grid.reshape(1, ph * pw, self.dim)
         tokens = [jnp.broadcast_to(cls + cls_pos, (b, 1, self.dim))]
         if self.num_register_tokens:
