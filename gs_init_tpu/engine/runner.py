@@ -220,6 +220,13 @@ class Runner:
             pixels=jnp.asarray(np.stack([it["image"] for it in items])),
             image_ids=iid,
         )
+        if all("sampling_mask" in it for it in items):
+            sm = np.stack(
+                [np.asarray(it["sampling_mask"], np.float32) for it in items]
+            )
+            if sm.ndim == 3:
+                sm = sm[..., None]
+            batch = batch._replace(sampling_mask=jnp.asarray(sm))
         if cfg.depth_loss:
             m = max(len(it["depth_points"]) for it in items)
             m = max(m, 1)
@@ -377,6 +384,7 @@ class Runner:
         width: int,
         height: int,
         render_mode: str = "RGB+ED",
+        masks: "np.ndarray | None" = None,  # [H, W] bool pixel mask
     ):
         """Render one view; returns (color [H,W,3], alpha [H,W], depth [H,W])."""
         p = self.gstate.params
@@ -393,6 +401,9 @@ class Runner:
             height,
             sh_degree=self.cfg.sh_degree,
             alive=self.gstate.alive,
+            masks=(
+                jnp.asarray(masks)[None] if masks is not None else None
+            ),
             render_mode=render_mode,
             camera_model=self.cfg.camera_model,
             tile_size=self.cfg.tile_size,

@@ -50,6 +50,10 @@ class Batch(NamedTuple):
     # Optional sparse depth supervision (cfg.depth_loss):
     depth_points: Optional[jnp.ndarray] = None  # [B, M, 2] pixel coords
     depth_values: Optional[jnp.ndarray] = None  # [B, M] SfM depths (0 = pad)
+    # Optional per-pixel sampling mask (1 = supervised); gradients through
+    # masked-out pixels are stopped, matching the nerfbaselines integration
+    # (reference method.py:439-443 detach-blend injection).
+    sampling_mask: Optional[jnp.ndarray] = None  # [B, H, W, 1] float
 
 
 class AuxParams(NamedTuple):
@@ -148,6 +152,13 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
             **rasterize_kw,
         )
         rendered = render[..., :3]
+        if batch.sampling_mask is not None:
+            # Gate gradients by the dataset sampling mask: forward values
+            # unchanged, masked-out pixels contribute no gradient
+            # (reference method.py:439-443).
+            m = batch.sampling_mask.astype(rendered.dtype)
+            rendered = rendered * m + jax.lax.stop_gradient(rendered) * (1 - m)
+            alpha = alpha * m + jax.lax.stop_gradient(alpha) * (1 - m)
         if cfg.use_bilateral_grid and aux.grids is not None:
             rendered = slice_bilateral_grid(
                 aux.grids, rendered, batch.image_ids

@@ -31,6 +31,43 @@ from ..config import Config, apply_overrides
 from ..engine.runner import Runner
 from ..trainer import build_presets
 
+def _rotmat_to_quat(R: np.ndarray) -> np.ndarray:
+    """Single 3x3 rotation -> wxyz quaternion (Shepperd's method)."""
+    t = np.trace(R)
+    if t > 0:
+        r = np.sqrt(1.0 + t)
+        w = 0.5 * r
+        x = (R[2, 1] - R[1, 2]) / (2 * r)
+        y = (R[0, 2] - R[2, 0]) / (2 * r)
+        z = (R[1, 0] - R[0, 1]) / (2 * r)
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        r = np.sqrt(1.0 + R[i, i] - R[j, j] - R[k, k])
+        q = np.zeros(4)
+        q[1 + i] = 0.5 * r
+        q[0] = (R[k, j] - R[j, k]) / (2 * r)
+        q[1 + j] = (R[j, i] + R[i, j]) / (2 * r)
+        q[1 + k] = (R[k, i] + R[i, k]) / (2 * r)
+        w, x, y, z = q
+    return np.array([w, x, y, z])
+
+
+def _quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hamilton product a*b; a [4] broadcast over b [N,4] (wxyz)."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    return np.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=1,
+    )
+
+
 DATASET_PRESETS: Dict[str, Dict[str, str]] = {
     # Reference method_spec.py:5-65 presets.
     "blender": {"init_type": "random", "random_bkgd": "true"},
@@ -103,6 +140,84 @@ class GsInitTpuMethod:
             camtoworld, K, width, height, render_mode="RGB+ED"
         )
         return dict(color=color, accumulation=alpha, depth=depth)
+
+    def export_demo(self, path: str, *, options: Optional[dict] = None) -> str:
+        """Export a viewer-standard 3DGS splat .ply in the dataset's ORIGINAL
+        (un-normalized) world frame.
+
+        Equivalent of the reference's web-demo export
+        (nerfbaselines_integration/method.py:867-954): the splat PLY layout
+        is the interchange format public 3DGS web viewers consume. When
+        app_opt is enabled, view-dependent appearance is baked into SH0 for
+        one embedding and one viewing direction (the reference does the
+        same, with the same warning)."""
+        import logging
+
+        from ..utils.ply import write_ply_splats
+
+        options = options or {}
+        runner, cfg = self.runner, self.cfg
+        p = runner.gstate.params
+        alive = np.asarray(runner.gstate.alive)
+        means = np.asarray(p.means)[alive]
+        log_scales = np.asarray(p.scales)[alive]
+        quats = np.asarray(p.quats)[alive]
+        quats = quats / np.maximum(
+            np.linalg.norm(quats, axis=-1, keepdims=True), 1e-12
+        )
+        opac_logit = np.asarray(p.opacities)[alive]
+
+        if cfg.app_opt and runner.aux.app is not None:
+            logging.warning(
+                "export_demo: baking appearance for a single embedding and "
+                "viewing direction (view-dependent demo unsupported with "
+                "app_opt, as in the reference)"
+            )
+            from ..engine.appearance import appearance_colors
+
+            center = np.asarray(
+                options.get("camera_center", [1.0, 0.0, 0.0]), np.float32
+            )
+            embedding = options.get("embedding")
+            app = runner.aux.app
+            if embedding is not None:
+                app = app._replace(embeds=jnp.asarray(embedding)[None])
+            dirs = jnp.asarray(means)[None] - jnp.asarray(center)[None, None]
+            resid = appearance_colors(
+                app._replace(feats=app.feats[jnp.asarray(alive)])
+                if app.feats.shape[0] != means.shape[0]
+                else app,
+                jnp.zeros((1,), jnp.int32),
+                dirs,
+                jnp.int32(cfg.sh_degree),
+                cfg.sh_degree,
+            )
+            colors = jax.nn.sigmoid(
+                resid[0] + jnp.asarray(np.asarray(p.sh0)[alive][:, 0, :])
+            )
+            C0 = 0.28209479177387814
+            sh0 = (np.asarray(colors) - 0.5)[:, None, :] / C0
+            shN = np.zeros((means.shape[0], p.shN.shape[1], 3), np.float32)
+        else:
+            sh0 = np.asarray(p.sh0)[alive]
+            shN = np.asarray(p.shN)[alive]
+
+        transform = getattr(runner.parser, "transform", None)
+        if transform is not None:
+            # Undo the world normalization: x_orig = T^-1 x_norm (similarity
+            # with uniform scale s), log-scales shift by log(s), rotations
+            # compose with R(T^-1).
+            tinv = np.linalg.inv(np.asarray(transform, np.float64))
+            M = tinv[:3, :3]
+            s = float(np.cbrt(np.linalg.det(M)))
+            R = M / s
+            means = (means @ M.T + tinv[:3, 3]).astype(np.float32)
+            log_scales = (log_scales + np.log(s)).astype(np.float32)
+            quats = _quat_mul(_rotmat_to_quat(R), quats).astype(np.float32)
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        write_ply_splats(path, means, log_scales, quats, opac_logit, sh0, shN)
+        return path
 
     # -------------------------------------------------- test-time embedding
 

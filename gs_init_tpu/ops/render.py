@@ -53,6 +53,7 @@ def rasterize(
     pair_capacity: int = 1 << 20,
     chunk_size: int = 128,
     alive: Optional[jnp.ndarray] = None,  # [N] bool capacity mask
+    masks: Optional[jnp.ndarray] = None,  # [C, H, W] bool/float pixel mask
     means2d_dummy: Optional[jnp.ndarray] = None,  # [C, N, 2] zeros; grad taps
     pair_dummy: Optional[jnp.ndarray] = None,  # [C*N, 2] zeros; absgrad tap
     impl: str = "auto",
@@ -163,6 +164,11 @@ def rasterize(
         render = color
     else:
         raise ValueError(f"unsupported render_mode {render_mode!r}")
+
+    if masks is not None:
+        # Zero every channel at masked-out pixels (reference
+        # runner.py:363-364: ``render_colors[~masks] = 0``).
+        render = render * masks[..., None].astype(render.dtype)
 
     info = RenderInfo(
         radii=proj.radii,

@@ -192,3 +192,25 @@ def test_absgrad_stats(rng):
     g_abs = run(64, 48, absgrad=True)
     assert (g_abs >= g_net - 1e-6).all()
     assert g_abs.sum() > g_net.sum()
+
+
+def test_scale_clamp_quantile():
+    """limit_init_scale: kNN distances clamped to the configured quantile
+    before the log (reference monocular_depth_init.py:215-224) so isolated
+    points can't spawn huge gaussians."""
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 1, (200, 3)).astype(np.float32)
+    pts[0] = 100.0  # isolated outlier -> huge kNN distance
+    rgbs = rng.uniform(0, 1, (200, 3)).astype(np.float32)
+    g_raw = init_from_points(jnp.asarray(pts), jnp.asarray(rgbs), 256)
+    g_clamp = init_from_points(
+        jnp.asarray(pts), jnp.asarray(rgbs), 256, scale_clamp_quantile=0.9
+    )
+    s_raw = np.asarray(g_raw.params.scales[:200, 0])
+    s_clamp = np.asarray(g_clamp.params.scales[:200, 0])
+    assert s_raw[0] > s_clamp[0]  # outlier scale got clamped
+    q = np.quantile(np.exp(s_raw), 0.9)
+    assert np.exp(s_clamp).max() <= q * (1 + 1e-5)
+    # Non-outlier scales below the quantile are untouched.
+    inner = np.exp(s_raw) <= q
+    np.testing.assert_allclose(s_clamp[inner], s_raw[inner], rtol=1e-6)
