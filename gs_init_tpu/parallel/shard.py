@@ -17,6 +17,15 @@ trainer.py:58 / runner.py:359). Design per SURVEY.md §5.8:
 - the loss is psum'd over "data"; Adam/densification run under plain jit on
   the sharded global arrays (XLA GSPMD partitions the elementwise math).
 
+Feature parity with the single-device step (engine/train_step.py), each
+exact-parity-tested on the virtual CPU mesh (tests/test_parallel.py): pose /
+appearance / bilateral-grid aux groups (DDP-replicated, like the reference's
+DDP modules at runner.py:227-284; appearance per-gaussian features are
+sliced per shard inside the step), absgrad pair taps, sparse depth loss,
+random background, sampling masks, opacity/scale regularizers. MCMC
+relocation and DefaultStrategy refine run under plain jit on the
+GSPMD-sharded buffers (see tests).
+
 Single-chip training is the mesh=(1,1) special case of the same code.
 """
 from __future__ import annotations
@@ -29,10 +38,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.optim import AdamConfig, adam_update
+from ..engine.appearance import (
+    appearance_colors,
+    apply_pose_deltas,
+    slice_bilateral_grid,
+    total_variation_loss,
+)
+from ..engine.optim import AdamConfig, adam_update, simple_adam_update
 from ..engine.params import GaussianState
 from ..engine.strategy import default as default_strategy
-from ..engine.train_step import Batch, sh_coeff_mask
+from ..engine.train_step import AuxOptState, AuxParams, Batch, sh_coeff_mask
 from ..ops.projection import project_gaussians, Projected
 from ..ops.rasterize import render_tiles, unpack_tiles
 from ..ops.rasterize_ref import rasterize_reference
@@ -59,25 +74,49 @@ def shardings(mesh: Mesh):
     return gauss, data, repl
 
 
-def make_sharded_train_step(cfg, acfg: AdamConfig, width: int, height: int, mesh: Mesh):
+def make_sharded_train_step(
+    cfg, acfg: AdamConfig, width: int, height: int, mesh: Mesh
+):
     """Build the pjit'd multi-device train step.
 
-    Expects gaussian buffers sharded along axis 0 over "gauss", batch arrays
-    sharded along axis 0 over "data" (batch size divisible by the data axis).
+    Same signature/returns as the single-device step: (gstate, adam, sstate,
+    aux, aux_opt, batch, step, key) -> (gstate', adam', sstate', aux',
+    aux_opt', metrics). Gaussian buffers sharded along axis 0 over "gauss",
+    batch arrays along axis 0 over "data" (batch divisible by the data
+    axis); aux groups replicated.
     """
     n_data = mesh.shape["data"]
+    n_gauss = mesh.shape["gauss"]
     use_pallas = cfg.rasterizer_impl == "pallas" or (
         cfg.rasterizer_impl == "auto" and jax.default_backend() != "cpu"
     )
+    use_absgrad = bool(getattr(cfg.strategy, "absgrad", False))
+    want_depth = bool(cfg.depth_loss)
 
-    def local_loss(params, dummy, alive, batch: Batch, step, key):
+    def local_loss(params, dummy, pair_dummy, aux: AuxParams, alive,
+                   batch: Batch, step, key):
         """Runs per-device inside shard_map. params/alive: gaussian shard;
-        batch: local cameras; dummy: [C_local, N_local, 2]."""
+        batch: local cameras; aux: replicated; dummy: [C_local, N_local, 2];
+        pair_dummy: [C_local * N_global, 2] or None."""
+        n_local = params.means.shape[0]
+        c_local = batch.pixels.shape[0]
+        gi = jax.lax.axis_index("gauss")
         scales, opacities = params.activated()
-        sh = params.sh_coeffs()
-        mask = sh_coeff_mask(step, cfg.sh_degree, cfg.sh_degree_interval)
-        sh = sh.at[:, 1:, :].multiply(mask[None, :, None])
-        viewmats = jnp.linalg.inv(batch.camtoworlds)
+
+        c2w = batch.camtoworlds
+        if cfg.pose_opt and aux.pose is not None:
+            c2w = apply_pose_deltas(c2w, aux.pose, batch.image_ids)
+        viewmats = jnp.linalg.inv(c2w)
+
+        bkgd = None
+        if cfg.random_bkgd:
+            # Same key everywhere; slice this data-shard's cameras out of
+            # the full-batch draw so colors match the single-device step.
+            di = jax.lax.axis_index("data")
+            full = jax.random.uniform(key, (n_data * c_local, 3))
+            bkgd = jax.lax.dynamic_slice_in_dim(
+                full, di * c_local, c_local, axis=0
+            )
 
         proj = project_gaussians(
             params.means, params.quats, scales, opacities,
@@ -86,14 +125,28 @@ def make_sharded_train_step(cfg, acfg: AdamConfig, width: int, height: int, mesh
             antialiased=cfg.antialiased, camera_model=cfg.camera_model,
             alive=alive,
         )
-        centers = -jnp.einsum(
-            "cji,cj->ci", viewmats[:, :3, :3], viewmats[:, :3, 3]
-        )
+        centers = c2w[:, :3, 3]
         dirs = params.means[None, :, :] - centers[:, None, :]
-        colors = sh_to_color(
-            jnp.broadcast_to(sh[None], (viewmats.shape[0],) + sh.shape),
-            dirs, cfg.sh_degree,
-        )
+        if cfg.app_opt and aux.app is not None:
+            feats_shard = jax.lax.dynamic_slice_in_dim(
+                aux.app.features, gi * n_local, n_local, axis=0
+            )
+            active_deg = jnp.minimum(
+                step // cfg.sh_degree_interval, cfg.sh_degree
+            )
+            resid = appearance_colors(
+                aux.app._replace(features=feats_shard),
+                batch.image_ids, dirs, active_deg, cfg.sh_degree,
+            )
+            colors = jax.nn.sigmoid(resid + params.sh0[None, :, 0, :])
+        else:
+            sh = params.sh_coeffs()
+            mask = sh_coeff_mask(step, cfg.sh_degree, cfg.sh_degree_interval)
+            sh = sh.at[:, 1:, :].multiply(mask[None, :, None])
+            colors = sh_to_color(
+                jnp.broadcast_to(sh[None], (c_local,) + sh.shape),
+                dirs, cfg.sh_degree,
+            )
         means2d = proj.means2d + dummy
 
         # Gather the compact projected attributes across gaussian shards.
@@ -111,17 +164,21 @@ def make_sharded_train_step(cfg, acfg: AdamConfig, width: int, height: int, mesh
                 cfg.tile_size, cfg.pair_capacity, chunk=cfg.chunk_size,
             )
             table = pack_table(means2d, conics, opac2d, colors, depths)
-            num_cams = viewmats.shape[0]
-            num_tiles = num_cams * binning.num_tiles_x * binning.num_tiles_y
+            num_tiles = c_local * binning.num_tiles_x * binning.num_tiles_y
+            pd = (
+                pair_dummy
+                if pair_dummy is not None
+                else jnp.zeros((table.shape[0], 2), jnp.float32)
+            )
             out = render_tiles(
-                table, jnp.zeros((table.shape[0], 2), jnp.float32),
+                table, pd,
                 binning.gid_sorted, binning.tile_starts, binning.out_starts,
                 binning.gauss_offsets, binning.gauss_counts,
                 num_tiles, binning.num_tiles_x, binning.num_tiles_y,
-                cfg.tile_size, cfg.chunk_size, False, False,
+                cfg.tile_size, cfg.chunk_size, want_depth, use_absgrad,
             )
-            color, alpha, _ = unpack_tiles(
-                out, num_cams, binning.num_tiles_x, binning.num_tiles_y,
+            color, alpha, depth_acc = unpack_tiles(
+                out, c_local, binning.num_tiles_x, binning.num_tiles_y,
                 cfg.tile_size, width, height,
             )
         else:
@@ -129,28 +186,87 @@ def make_sharded_train_step(cfg, acfg: AdamConfig, width: int, height: int, mesh
                 means2d=means2d, conics=conics, depths=depths,
                 radii=radii, opacities=opac2d,
             )
-            color, alpha, _ = rasterize_reference(
+            color, alpha, depth_acc = rasterize_reference(
                 full, colors, width, height, tile_size=cfg.tile_size
             )
 
-        l1 = jnp.mean(jnp.abs(color - batch.pixels))
-        ssim_val = ssim(color, batch.pixels)
+        if bkgd is not None:
+            color = color + (1.0 - alpha)[..., None] * bkgd[:, None, None, :]
+
+        rendered = color
+        if batch.sampling_mask is not None:
+            m = batch.sampling_mask.astype(rendered.dtype)
+            rendered = rendered * m + jax.lax.stop_gradient(rendered) * (1 - m)
+            alpha = alpha * m[..., 0] + jax.lax.stop_gradient(alpha) * (
+                1 - m[..., 0]
+            )
+        if cfg.use_bilateral_grid and aux.grids is not None:
+            rendered = slice_bilateral_grid(
+                aux.grids, rendered, batch.image_ids
+            )
+
+        l1 = jnp.mean(jnp.abs(rendered - batch.pixels))
+        ssim_val = ssim(rendered, batch.pixels)
         loss_local = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * (
             1.0 - ssim_val
         )
-        # Purely local loss — cross-device normalization is applied to the
-        # gradients explicitly in device_step (collective transposes inside
-        # unchecked shard_map do not carry pmean's 1/n factor).
+
+        if want_depth and batch.depth_points is not None:
+            depth = depth_acc / jnp.maximum(alpha, 1e-10)
+            pts = batch.depth_points.astype(jnp.int32)
+            b_idx = jnp.arange(c_local)[:, None]
+            sampled = depth[b_idx, pts[..., 1], pts[..., 0]]
+            valid = batch.depth_values > 0
+            disp = jnp.where(valid, 1.0 / jnp.maximum(sampled, 1e-6), 0.0)
+            disp_gt = jnp.where(
+                valid, 1.0 / jnp.maximum(batch.depth_values, 1e-6), 0.0
+            )
+            # Normalize by the GLOBAL valid count so pmean over data
+            # reproduces the single-device sum/nvalid exactly.
+            nv = jax.lax.psum(
+                jnp.sum(valid).astype(jnp.float32), "data"
+            )
+            nv = jnp.maximum(jax.lax.stop_gradient(nv), 1.0)
+            loss_local = loss_local + cfg.depth_lambda * n_data * (
+                jnp.sum(jnp.abs(disp - disp_gt)) / nv
+            )
+
+        if cfg.use_bilateral_grid and aux.grids is not None:
+            loss_local = loss_local + cfg.tv_lambda * total_variation_loss(
+                aux.grids
+            )
+
+        # Regularizers over the full capacity: psum the shard sums so the
+        # local loss stays identical across gauss devices (the grad
+        # normalization below depends on that replication).
+        cap_total = n_local * n_gauss
+        if cfg.opacity_reg > 0.0:
+            s = jnp.sum(jnp.where(alive, jnp.abs(opacities), 0.0))
+            loss_local = loss_local + cfg.opacity_reg * (
+                jax.lax.psum(s, "gauss") / cap_total
+            )
+        if cfg.scale_reg > 0.0:
+            s = jnp.sum(jnp.where(alive[:, None], jnp.abs(scales), 0.0))
+            loss_local = loss_local + cfg.scale_reg * (
+                jax.lax.psum(s, "gauss") / (cap_total * 3)
+            )
+
         return loss_local, dict(l1=l1, ssim=ssim_val, radii=radii)
 
-    def device_step(params, alive, batch, step, key):
+    def device_step(params, alive, aux: AuxParams, batch, step, key):
         c_local = batch.pixels.shape[0]
         n_local = params.means.shape[0]
-        n_gauss = jax.lax.axis_size("gauss")
         dummy = jnp.zeros((c_local, n_local, 2), jnp.float32)
-        (loss_local, aux), (grads, dgrads) = jax.value_and_grad(
-            local_loss, argnums=(0, 1), has_aux=True
-        )(params, dummy, alive, batch, step, key)
+        pair_dummy = (
+            jnp.zeros((c_local * n_local * n_gauss, 2), jnp.float32)
+            if (use_absgrad and use_pallas)
+            else None
+        )
+        (loss_local, auxd), (grads, dgrads, pgrads, agrads) = (
+            jax.value_and_grad(local_loss, argnums=(0, 1, 2, 3), has_aux=True)(
+                params, dummy, pair_dummy, aux, alive, batch, step, key
+            )
+        )
         loss = jax.lax.pmean(loss_local, ("data", "gauss"))
         # Local grads arrive n_gauss-fold (every gauss-shard device computed
         # the same replicated loss; the all_gather transpose psum-scatters
@@ -162,15 +278,28 @@ def make_sharded_train_step(cfg, acfg: AdamConfig, width: int, height: int, mesh
             lambda g: jax.lax.psum(g, "data") * norm, grads
         )
         dgrads = dgrads * norm
-        # Per-(camera, shard-gaussian) screen grads / radii for densification
-        # stats; reassembled to global [C, N] by the out_specs.
+        # Aux groups are replicated; their cotangents include the routed
+        # cross-shard contributions, so reduce over BOTH axes.
+        agrads = jax.tree.map(
+            lambda g: jax.lax.psum(g, ("data", "gauss")) * norm, agrads
+        )
         gi = jax.lax.axis_index("gauss")
         radii_local = jax.lax.dynamic_slice_in_dim(
-            aux["radii"], gi * n_local, n_local, axis=1
+            auxd["radii"], gi * n_local, n_local, axis=1
         )
-        l1 = jax.lax.pmean(aux["l1"], "data")
-        ssim_val = jax.lax.pmean(aux["ssim"], "data")
-        return loss, grads, dgrads, radii_local, l1, ssim_val
+        if pgrads is not None:
+            # Pair taps never cross a collective: 1-fold per device, and
+            # identical across gauss devices (same gathered binning) — slice
+            # this shard's columns and scale by the data-mean factor only.
+            stats_local = pgrads.reshape(c_local, n_local * n_gauss, 2)
+            stats_local = jax.lax.dynamic_slice_in_dim(
+                stats_local, gi * n_local, n_local, axis=1
+            ) * (1.0 / n_data)
+        else:
+            stats_local = dgrads
+        l1 = jax.lax.pmean(auxd["l1"], "data")
+        ssim_val = jax.lax.pmean(auxd["ssim"], "data")
+        return loss, grads, dgrads, agrads, stats_local, radii_local, l1, ssim_val
 
     from jax import shard_map
 
@@ -180,6 +309,7 @@ def make_sharded_train_step(cfg, acfg: AdamConfig, width: int, height: int, mesh
         in_specs=(
             P("gauss"),  # params (axis 0 of every leaf)
             P("gauss"),  # alive
+            P(),  # aux (replicated)
             P("data"),  # batch leaves (axis 0)
             P(),  # step
             P(),  # key
@@ -188,7 +318,9 @@ def make_sharded_train_step(cfg, acfg: AdamConfig, width: int, height: int, mesh
             P(),
             P("gauss"),
             P("data", "gauss"),
-            P("data", "gauss"),
+            P(),  # aux grads (already reduced)
+            P("data", "gauss"),  # densification stats grads
+            P("data", "gauss"),  # radii
             P(),
             P(),
         ),
@@ -196,13 +328,41 @@ def make_sharded_train_step(cfg, acfg: AdamConfig, width: int, height: int, mesh
     )
 
     @jax.jit
-    def train_step(gstate: GaussianState, adam, sstate, batch: Batch, step, key):
-        loss, grads, dgrads, radii, l1, ssim_val = smapped(
-            gstate.params, gstate.alive, batch, step, key
+    def train_step(
+        gstate: GaussianState, adam, sstate, aux: AuxParams,
+        aux_opt: AuxOptState, batch: Batch, step, key,
+    ):
+        loss, grads, dgrads, agrads, stats, radii, l1, ssim_val = smapped(
+            gstate.params, gstate.alive, aux, batch, step, key
         )
         params, adam = adam_update(gstate.params, grads, adam, acfg, step)
-        sstate = default_strategy.update_state(sstate, dgrads, radii, width, height)
+
+        decay = acfg.means_decay_gamma ** step.astype(jnp.float32)
+        new_aux, new_opt = {}, {}
+        if aux.pose is not None:
+            p, s = simple_adam_update(
+                aux.pose, agrads.pose, aux_opt.pose,
+                lr=cfg.pose_opt_lr * decay, weight_decay=cfg.pose_opt_reg,
+            )
+            new_aux["pose"], new_opt["pose"] = p, s
+        if aux.app is not None:
+            p, s = simple_adam_update(
+                aux.app, agrads.app, aux_opt.app,
+                lr=cfg.app_opt_lr, weight_decay=cfg.app_opt_reg,
+            )
+            new_aux["app"], new_opt["app"] = p, s
+        if aux.grids is not None:
+            p, s = simple_adam_update(
+                aux.grids, agrads.grids, aux_opt.grids, lr=2e-3
+            )
+            new_aux["grids"], new_opt["grids"] = p, s
+        aux = aux._replace(**new_aux)
+        aux_opt = aux_opt._replace(**new_opt)
+
+        sstate = default_strategy.update_state(
+            sstate, stats, radii, width, height
+        )
         metrics = dict(loss=loss, l1=l1, ssim=ssim_val)
-        return gstate._replace(params=params), adam, sstate, metrics
+        return gstate._replace(params=params), adam, sstate, aux, aux_opt, metrics
 
     return train_step
