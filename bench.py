@@ -55,13 +55,17 @@ def main():
     ).astype(np.float32)
     rgbs = rng.uniform(0, 1, (n, 3)).astype(np.float32)
 
+    import os as _os
+    import sys as _sys
+
     cfg = Config(
         max_steps=30_000,
         sh_degree=3,
         max_gaussians=cap,
         pair_capacity=1 << 21,
         rasterizer_impl="auto",
-        tile_size=16,
+        tile_size=int(_os.environ.get("GS_BENCH_TILE", 16)),
+        chunk_size=int(_os.environ.get("GS_BENCH_CHUNK", 128)),
     )
     gstate = init_from_points(
         jnp.asarray(pts), jnp.asarray(rgbs), cap, cfg.sh_degree
@@ -96,14 +100,22 @@ def main():
     # Right-size the pair capacity from the observed pair count — the same
     # policy the Runner applies in production (auto_pair_capacity).
     pairs = int(out[-1]["pairs"]) + int(out[-1]["overflow"])
-    snug = 1 << (max(int(pairs * 1.5), 1 << 14) - 1).bit_length()
-    if snug < cfg.pair_capacity:
+    snug = -(-max(int(pairs * 1.35), 1 << 14) // (1 << 17)) * (1 << 17)
+    print(f"[bench] pairs={pairs} snug_cap={snug}", file=_sys.stderr)
+    # Grow on overflow (an overflowing cap silently drops pairs — the
+    # benchmark must process the full workload) and shrink when oversized.
+    if snug != cfg.pair_capacity:
         cfg.pair_capacity = snug
         step_fn = make_train_step(cfg, acfg, width, height)
         out = step_fn(
             gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0), key
         )
         float(out[-1]["loss"])
+        print(
+            f"[bench] pairs={int(out[-1]['pairs'])} "
+            f"overflow={int(out[-1]['overflow'])}",
+            file=_sys.stderr,
+        )
     del out
 
     # Time a closed 30-step chain with a single final scalar fetch: each

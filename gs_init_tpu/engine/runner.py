@@ -257,12 +257,16 @@ class Runner:
         overflow = int(metrics.get("overflow", 0))
         if pairs <= 0 and overflow <= 0:
             return
-        want = max(int((pairs + overflow) * 1.5), 1 << 14)
-        want = 1 << (want - 1).bit_length()  # next pow2
+        # Snug cap: 1.35x headroom rounded up to 128k — every binning/sort/
+        # gather pipeline scales with the cap, and pow2 rounding overshot by
+        # up to 2x (PERF.md round-2 trace).
+        gran = 1 << 17
+        want = max(int((pairs + overflow) * 1.35), 1 << 14)
+        want = -(-want // gran) * gran if want > gran else 1 << (want - 1).bit_length()
         cap = cfg.pair_capacity
         if overflow > 0 and want > cap:
             new_cap = want
-        elif want < cap // 2:
+        elif want < int(cap * 0.75):
             new_cap = max(want, 1 << 14)
         else:
             return

@@ -90,6 +90,9 @@ def sh_coeff_mask(step: jnp.ndarray, sh_degree: int, interval: int) -> jnp.ndarr
 def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
     """Build the jitted train step for a fixed image size."""
     use_absgrad = bool(getattr(cfg.strategy, "absgrad", False))
+    # MCMC relocation never reads the grad2d stats — skip accumulating them
+    # (the reference's MCMCStrategy likewise keeps no screen-grad state).
+    track_stats = type(cfg.strategy).__name__ != "MCMCStrategyConfig"
 
     rasterize_kw = dict(
         near_plane=cfg.near_plane,
@@ -263,17 +266,19 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
         aux = aux._replace(**new_aux)
         aux_opt = aux_opt._replace(**new_opt)
 
-        if use_absgrad and auxd["binning"] is not None:
-            # Per-gaussian sums of absolute per-pair screen grads (gsplat's
-            # absgrad mode) — sharper densification signal than the net
-            # gradient when positive/negative contributions cancel. The
-            # render op's pair_dummy cotangent delivers them pre-reduced.
-            stats_grads = pgrads.reshape(c, -1, 2)
-        else:
-            stats_grads = dgrads
-        sstate = default_strategy.update_state(
-            sstate, stats_grads, auxd["radii"], width, height
-        )
+        if track_stats:
+            if use_absgrad and auxd["binning"] is not None:
+                # Per-gaussian sums of absolute per-pair screen grads
+                # (gsplat's absgrad mode) — sharper densification signal than
+                # the net gradient when positive/negative contributions
+                # cancel. The render op's pair_dummy cotangent delivers them
+                # pre-reduced.
+                stats_grads = pgrads.reshape(c, -1, 2)
+            else:
+                stats_grads = dgrads
+            sstate = default_strategy.update_state(
+                sstate, stats_grads, auxd["radii"], width, height
+            )
         metrics = dict(
             loss=loss,
             l1=auxd["l1"],

@@ -75,7 +75,13 @@ def pick_model(cfg) -> DepthPredictor:
             backbone=backbone,
             allow_random_weights=cfg.mdi.allow_random_weights,
         )
+    if name == "depth_pro":
+        from .apple_depth_pro import AppleDepthProPredictor
+
+        return AppleDepthProPredictor(
+            allow_random_weights=cfg.mdi.allow_random_weights,
+        )
     raise NotImplementedError(
         f"predictor {name!r} not yet available in the TPU build "
-        "(moge/unidepth/depth_pro ports are tracked work)"
+        "(moge/unidepth ports are tracked work)"
     )

@@ -117,6 +117,10 @@ class DinoViT(nn.Module):
     # (vendored Metric3D ViT_DINO_reg.py interpolate_pos_encoding).
     pos_interp: str = "resize"
     interpolate_offset: float = 0.1
+    # Per-out_layer flag: apply the final LayerNorm to that output (HF
+    # "hidden_states" hooks are RAW layer outputs; the last_hidden_state is
+    # normed — DepthPro consumes both). None = norm everything.
+    out_layers_norm: Optional[Sequence[bool]] = None
 
     @nn.compact
     def __call__(
@@ -178,14 +182,18 @@ class DinoViT(nn.Module):
         x = jnp.concatenate(tokens + [x], axis=1)
 
         n_prefix = 1 + self.num_register_tokens
-        outs, prefix_outs = [], []
         final_norm = nn.LayerNorm(epsilon=1e-6, name="norm")
+        feats = {}
         for i in range(self.depth):
             x = Block(self.dim, self.num_heads, name=f"blocks_{i}")(x)
             if i in self.out_layers:
-                y = final_norm(x)
-                outs.append(y[:, n_prefix:].reshape(b, ph, pw, self.dim))
-                prefix_outs.append(y[:, :n_prefix])
+                feats[i] = x
+        norm_flags = self.out_layers_norm or (True,) * len(self.out_layers)
+        outs, prefix_outs = [], []
+        for layer, do_norm in zip(self.out_layers, norm_flags):
+            y = final_norm(feats[layer]) if do_norm else feats[layer]
+            outs.append(y[:, n_prefix:].reshape(b, ph, pw, self.dim))
+            prefix_outs.append(y[:, :n_prefix])
         return outs, prefix_outs
 
 

@@ -470,10 +470,12 @@ def _render_bwd(
     )
     n_base = 10 if want_depth_grad else 9  # ddepth column optional
     ops = tuple(records[i] for i in range(n_base))
-    if want_absgrad:
-        ops = ops + (jnp.abs(records[PACK_MX]), jnp.abs(records[PACK_MY]))
     sorted_ops = jax.lax.sort((key,) + ops, num_keys=1)
     dpre = jnp.stack(sorted_ops[1:], axis=0)  # [R, CAP_PAD]
+    if want_absgrad:
+        # |dmx|, |dmy| ride the same permutation as dmx/dmy — take abs of
+        # the sorted columns instead of sorting two extra payload columns.
+        dpre = jnp.concatenate([dpre, jnp.abs(dpre[PACK_MX : PACK_MY + 1])], 0)
     # Under pair-capacity overflow the dropped pairs are exactly the presort
     # tail, so clip the per-gaussian segments to the surviving range.
     offs2 = jnp.minimum(offsets, pair_cap)

@@ -154,11 +154,14 @@ def bin_gaussians(
         (tile, g[:, 4], pair_gid), num_keys=2
     )
 
+    # Binary search per tile boundary ('scan': ~21 gather rounds of
+    # num_tiles+1 queries). 'compare_all' is O(num_tiles * capacity)
+    # comparisons — measured 6 ms/step at garden scale vs ~0 for 'scan'.
     starts = jnp.searchsorted(
         tile_s,
         jnp.arange(num_tiles + 1, dtype=jnp.int32),
         side="left",
-        method="compare_all",
+        method="scan",
     ).astype(jnp.int32)
 
     # Backward-output slot bases: tile t's kernel reads/writes chunks

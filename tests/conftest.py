@@ -47,3 +47,36 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------- test tiers
+# `pytest -m core` = fast tier (<~3 min): pure-math / IO / small-scene tests.
+# `pytest -m heavy` = slow tier: mesh-parity, model-parity, Pallas oracle and
+# full-runner tests (the whole suite is ~15 min on CPU). See README.
+
+_HEAVY_MODULES = {
+    "test_parallel",
+    "test_depth_predictor",
+    "test_runner",
+    "test_train_smoke",
+    "test_appearance",
+    "test_rasterize_pallas",
+    "test_mdi",
+    "test_dav2_hf_parity",
+    "test_dino_registers_parity",
+    "test_metric3d_parity",
+    "test_depth_pro_parity",
+    "test_ckpt_orbax",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "core: fast test tier (<~3 min total)")
+    config.addinivalue_line("markers", "heavy: slow parity/mesh/model tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = os.path.splitext(os.path.basename(str(item.fspath)))[0]
+        tier = "heavy" if name in _HEAVY_MODULES else "core"
+        item.add_marker(getattr(pytest.mark, tier))
