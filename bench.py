@@ -67,6 +67,7 @@ def main():
         tile_size=int(_os.environ.get("GS_BENCH_TILE", 16)),
         chunk_size=int(_os.environ.get("GS_BENCH_CHUNK", 128)),
     )
+    cfg.pair_capacity = int(_os.environ.get("GS_BENCH_PAIR_CAP", cfg.pair_capacity))
     gstate = init_from_points(
         jnp.asarray(pts), jnp.asarray(rgbs), cap, cfg.sh_degree
     )
@@ -102,20 +103,16 @@ def main():
     pairs = int(out[-1]["pairs"]) + int(out[-1]["overflow"])
     snug = -(-max(int(pairs * 1.35), 1 << 14) // (1 << 17)) * (1 << 17)
     print(f"[bench] pairs={pairs} snug_cap={snug}", file=_sys.stderr)
-    # Grow on overflow (an overflowing cap silently drops pairs — the
-    # benchmark must process the full workload) and shrink when oversized.
-    if snug != cfg.pair_capacity:
-        cfg.pair_capacity = snug
-        step_fn = make_train_step(cfg, acfg, width, height)
-        out = step_fn(
-            gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0), key
-        )
-        float(out[-1]["loss"])
-        print(
-            f"[bench] pairs={int(out[-1]['pairs'])} "
-            f"overflow={int(out[-1]['overflow'])}",
-            file=_sys.stderr,
-        )
+    # Right-size the cap: grow on overflow (an overflowing cap silently
+    # drops pairs — the benchmark must process the full workload), shrink
+    # when oversized. Re-exec in a FRESH interpreter: on this environment,
+    # loading a second executable permanently degrades per-call latency
+    # (program-swap behavior, PERF.md), so the timed run must be the only
+    # compile of its process.
+    if snug != cfg.pair_capacity and "GS_BENCH_PAIR_CAP" not in _os.environ:
+        env = dict(_os.environ)
+        env["GS_BENCH_PAIR_CAP"] = str(snug)
+        _os.execve(_sys.executable, [_sys.executable, __file__], env)
     del out
 
     # Time a closed 30-step chain with a single final scalar fetch: each

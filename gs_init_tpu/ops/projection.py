@@ -195,10 +195,16 @@ def project_gaussians(
     conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
     mean2d = jnp.stack([mean2d_x, mean2d_y], axis=-1)
 
-    # Screen radius from the larger eigenvalue of the blurred covariance.
+    # Screen radius from the larger eigenvalue of the blurred covariance,
+    # shrunk to the exact compositor support: pixels with
+    # alpha = opa*exp(-sigma) < 1/255 are skipped by the kernel
+    # (ALPHA_MIN), i.e. mahalanobis distance sqrt(2*ln(255*opa)), so any
+    # tile beyond that screen radius is a provable no-op. Capped at the
+    # classic 3-sigma so high-opacity footprints match gsplat's binning.
     mid = 0.5 * (a + c)
     lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(lam1))
+    nsigma = jnp.sqrt(2.0 * jnp.log(jnp.maximum(opac * 255.0, 1.0 + 1e-6)))
+    radius_f = jnp.ceil(jnp.minimum(3.0, nsigma) * jnp.sqrt(lam1))
 
     valid = (
         (tz > near_plane)
