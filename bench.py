@@ -64,7 +64,7 @@ def main():
         max_gaussians=cap,
         pair_capacity=1 << 21,
         rasterizer_impl="auto",
-        tile_size=int(_os.environ.get("GS_BENCH_TILE", 16)),
+        tile_size=int(_os.environ.get("GS_BENCH_TILE", 32)),
         chunk_size=int(_os.environ.get("GS_BENCH_CHUNK", 128)),
     )
     cfg.pair_capacity = int(_os.environ.get("GS_BENCH_PAIR_CAP", cfg.pair_capacity))

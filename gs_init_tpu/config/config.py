@@ -261,8 +261,10 @@ class Config:
     packed: bool = False
     sparse_grad: bool = False
 
-    # Rasterizer capacities (TPU additions; XLA needs static shapes)
-    tile_size: int = 16
+    # Rasterizer capacities (TPU additions; XLA needs static shapes).
+    # 32px tiles measured 1.7x faster than 16px at garden scale: ~2.4x fewer
+    # tile-gaussian pairs and 1024-pixel MXU contractions per chunk.
+    tile_size: int = 32
     pair_capacity: int = 4_194_304
     # Auto-tune pair_capacity from observed pair counts (recompiles the
     # step when the capacity is >2x too large or overflowing; checks happen

@@ -45,8 +45,10 @@ class Runner:
         parser: Optional[Parser] = None,
         trainset: Optional[Dataset] = None,
         valset: Optional[Dataset] = None,
+        mdi_model=None,  # optional pre-built depth predictor (tests/e2e)
     ):
         self.cfg = cfg
+        self._mdi_model = mdi_model
         if parser is None:
             from ..datasets.nerfstudio import open_dataset
 
@@ -97,7 +99,9 @@ class Runner:
         if cfg.init_type == "monocular_depth":
             from ..mdi.init import pts_and_rgb_from_monocular_depth
 
-            pts, rgb = pts_and_rgb_from_monocular_depth(cfg, self.parser)
+            pts, rgb = pts_and_rgb_from_monocular_depth(
+                cfg, self.parser, model=self._mdi_model
+            )
             return pts, rgb
         raise ValueError(f"unknown init_type {cfg.init_type!r}")
 

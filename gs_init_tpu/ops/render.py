@@ -49,7 +49,7 @@ def rasterize(
     render_mode: str = "RGB",  # or "RGB+ED"
     backgrounds: Optional[jnp.ndarray] = None,  # [C, 3]
     camera_model: str = "pinhole",
-    tile_size: int = 16,
+    tile_size: int = 32,
     pair_capacity: int = 1 << 20,
     chunk_size: int = 128,
     alive: Optional[jnp.ndarray] = None,  # [N] bool capacity mask
