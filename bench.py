@@ -40,9 +40,11 @@ def main():
         make_train_step,
     )
 
+    import os as _os0
+
     width, height = 1296, 840
-    n = 300_000
-    cap = 393_216  # live + densification headroom
+    n = int(_os0.environ.get("GS_BENCH_N", 300_000))
+    cap = -(-int(n * 1.31) // 65536) * 65536  # live + densification headroom
     rng = np.random.default_rng(0)
 
     pts = np.stack(
@@ -68,8 +70,14 @@ def main():
         chunk_size=int(_os.environ.get("GS_BENCH_CHUNK", 128)),
     )
     cfg.pair_capacity = int(_os.environ.get("GS_BENCH_PAIR_CAP", cfg.pair_capacity))
+    # Fixed init scale ~ mean spacing of the cloud: multi-M gaussian counts
+    # arise from densification in practice, never from a kNN scale init —
+    # and the O(N^2) init kNN at 3M+ points exceeds the relay's program
+    # watchdog. Volume 6x4x7 / n ^ (1/3).
+    spacing = float((6.0 * 4.0 * 7.0 / n) ** (1.0 / 3.0))
     gstate = init_from_points(
-        jnp.asarray(pts), jnp.asarray(rgbs), cap, cfg.sh_degree
+        jnp.asarray(pts), jnp.asarray(rgbs), cap, cfg.sh_degree,
+        fixed_scale=spacing,
     )
     adam = init_adam_state(gstate.params)
     acfg = make_adam_config(cfg, scene_scale=4.0)
@@ -129,10 +137,19 @@ def main():
     elapsed = time.perf_counter() - t0
 
     sps = n_steps / elapsed
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        print(
+            f"[bench] hbm peak {ms.get('peak_bytes_in_use', 0) / 2**30:.2f} "
+            f"GiB / {ms.get('bytes_limit', 0) / 2**30:.2f} GiB",
+            file=_sys.stderr,
+        )
+    except Exception:
+        pass
     print(
         json.dumps(
             {
-                "metric": "train_steps_per_sec_1296x840_300k_gaussians",
+                "metric": f"train_steps_per_sec_1296x840_{n // 1000}k_gaussians",
                 "value": round(sps, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),

@@ -25,6 +25,9 @@ class SyntheticScene(NamedTuple):
     width: int
     height: int
     scene_scale: float
+    # GT expected-depth / coverage renders (depth-oracle fixtures).
+    depths: np.ndarray = None  # [C, H, W]
+    alphas: np.ndarray = None  # [C, H, W]
 
 
 def look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, -1.0, 0.0)) -> np.ndarray:
@@ -81,8 +84,10 @@ def make_scene(
     colors = jnp.broadcast_to(
         jnp.asarray(rgbs, jnp.float32)[None], (n_cams, n_gaussians, 3)
     )
-    images, _, _ = rasterize_reference(proj, colors, width, height)
+    images, alpha, depth_acc = rasterize_reference(proj, colors, width, height)
     images = np.clip(np.asarray(images), 0.0, 1.0)
+    alphas = np.asarray(alpha)
+    depths = np.asarray(depth_acc) / np.maximum(alphas, 1e-8)
 
     return SyntheticScene(
         points=pts.astype(np.float32),
@@ -93,4 +98,6 @@ def make_scene(
         width=width,
         height=height,
         scene_scale=float(radius),
+        depths=depths.astype(np.float32),
+        alphas=alphas.astype(np.float32),
     )

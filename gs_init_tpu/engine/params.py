@@ -69,6 +69,7 @@ def init_from_points(
     init_scale: float = 1.0,
     rng: Optional[jax.Array] = None,
     scale_clamp_quantile: float = 0.0,
+    fixed_scale: Optional[float] = None,
 ) -> GaussianState:
     """SfM / monocular-depth point-cloud initialization.
 
@@ -82,7 +83,13 @@ def init_from_points(
     n = min(points.shape[0], capacity)
     points = points[:n]
     rgbs = rgbs[:n]
-    dist = jnp.clip(mean_knn_dist(points, k=3), 1e-7, None)
+    if fixed_scale is not None:
+        # Benchmark/bring-up path: skip the O(N^2) kNN (init-time only;
+        # multi-million-gaussian states normally arise from densification,
+        # which never re-runs scale init).
+        dist = jnp.full((n,), fixed_scale, jnp.float32)
+    else:
+        dist = jnp.clip(mean_knn_dist(points, k=3), 1e-7, None)
     if scale_clamp_quantile > 0.0:
         q = jnp.quantile(dist, scale_clamp_quantile)
         dist = jnp.minimum(dist, q)

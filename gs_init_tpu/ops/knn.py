@@ -14,32 +14,60 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "point_chunk"))
 def knn(
     queries: jnp.ndarray,  # [M, D]
     points: jnp.ndarray,  # [N, D]
     k: int = 4,
     chunk: int = 2048,
+    point_chunk: int = 16384,
 ):
     """Return (dists [M, k], idx [M, k]) of the k nearest points per query.
+
+    Blocked over BOTH sides with a running top-k, so peak memory is
+    [chunk, point_chunk] regardless of N (a single [chunk, N] block is
+    24 GB at N=3M — the production MCMC cap scale).
 
     Note: if ``queries is points``, the nearest neighbor is the point itself
     (distance 0) — pass k+1 and drop column 0 for strict neighbors.
     """
-    m = queries.shape[0]
+    m, dim = queries.shape
+    n = points.shape[0]
     pad = (-m) % chunk
-    q = jnp.concatenate([queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)])
-    q = q.reshape(-1, chunk, queries.shape[1])
-    p_sq = jnp.sum(points * points, axis=-1)
+    q = jnp.concatenate([queries, jnp.zeros((pad, dim), queries.dtype)])
+    q = q.reshape(-1, chunk, dim)
+
+    ppad = (-n) % point_chunk
+    p = jnp.concatenate(
+        [points, jnp.zeros((ppad, dim), points.dtype)]
+    ).reshape(-1, point_chunk, dim)
+    p_sq = jnp.sum(p * p, axis=-1)
+    bases = (
+        jnp.arange(p.shape[0], dtype=jnp.int32)[:, None] * point_chunk
+        + jnp.arange(point_chunk, dtype=jnp.int32)[None, :]
+    )
 
     def body(qc):
-        d2 = (
-            jnp.sum(qc * qc, axis=-1, keepdims=True)
-            - 2.0 * qc @ points.T
-            + p_sq[None, :]
+        q_sq = jnp.sum(qc * qc, axis=-1, keepdims=True)
+
+        def pblock(carry, blk):
+            best_d, best_i = carry
+            pts_b, psq_b, idx_b = blk
+            d2 = q_sq - 2.0 * qc @ pts_b.T + psq_b[None, :]
+            d2 = jnp.where(idx_b[None, :] < n, d2, jnp.inf)  # padded rows
+            cat_d = jnp.concatenate([best_d, d2], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(idx_b[None, :], d2.shape)], axis=1
+            )
+            neg, sel = jax.lax.top_k(-cat_d, k)
+            return (-neg, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+        init = (
+            jnp.full((chunk, k), jnp.inf, jnp.float32),
+            jnp.zeros((chunk, k), jnp.int32),
         )
-        neg, idx = jax.lax.top_k(-d2, k)
-        return jnp.maximum(-neg, 0.0), idx
+        (best_d, best_i), _ = jax.lax.scan(pblock, init, (p, p_sq, bases))
+        return jnp.maximum(best_d, 0.0), best_i
 
     d2, idx = jax.lax.map(body, q)
     d2 = d2.reshape(-1, k)[:m]

@@ -48,14 +48,28 @@ def ssim(
     window_size: int = 11,
     sigma: float = 1.5,
 ) -> jnp.ndarray:
-    """Mean SSIM over a batch (scalar), valid padding."""
+    """Mean SSIM over a batch (scalar), valid padding.
+
+    All five moments (x, y, x^2, y^2, xy) are stacked channel-wise and
+    blurred with ONE pair of grouped separable convs — a third of the conv
+    dispatches of the naive formulation (fwd and autodiff bwd)."""
     w = jnp.asarray(_gaussian_window(window_size, sigma))
-    mu0 = _blur_valid(img0, w)
-    mu1 = _blur_valid(img1, w)
+    stacked = jnp.concatenate(
+        [img0, img1, img0 * img0, img1 * img1, img0 * img1], axis=-1
+    )
+    blurred = _blur_valid(stacked, w)
+    c = img0.shape[-1]
+    mu0, mu1, e00, e11, e01 = (
+        blurred[..., :c],
+        blurred[..., c : 2 * c],
+        blurred[..., 2 * c : 3 * c],
+        blurred[..., 3 * c : 4 * c],
+        blurred[..., 4 * c :],
+    )
     mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1
-    s00 = _blur_valid(img0 * img0, w) - mu00
-    s11 = _blur_valid(img1 * img1, w) - mu11
-    s01 = _blur_valid(img0 * img1, w) - mu01
+    s00 = e00 - mu00
+    s11 = e11 - mu11
+    s01 = e01 - mu01
     m = ((2 * mu01 + c1) * (2 * s01 + c2)) / (
         (mu00 + mu11 + c1) * (s00 + s11 + c2)
     )

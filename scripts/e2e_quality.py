@@ -54,34 +54,15 @@ def _gt_depth_oracle(scene, parser):
     """Oracle stub predictor: true expected-depth maps (original scene
     frame), affine-distorted — alignment must recover scale/shift from the
     parser-space SfM points. Consumed in trainset order via a counter."""
-    import jax.numpy as jnp
-
     from gs_init_tpu.mdi.predictors.stub import StubPredictor
-    from gs_init_tpu.ops.projection import project_gaussians
-    from gs_init_tpu.ops.rasterize_ref import rasterize_reference
 
-    n = len(scene.points)
-    scales = jnp.asarray(scene.scales, jnp.float32)
-    opac = jnp.asarray(scene.opacities, jnp.float32)
-    quats = jnp.asarray(scene.quats, jnp.float32)
-    means = jnp.asarray(scene.points, jnp.float32)
     train_ids = list(parser.split_indices("train"))
     depths = []
     for i in train_ids:
-        vm = np.linalg.inv(scene.camtoworlds[i])[None]
-        proj = project_gaussians(
-            means, quats, scales, opac,
-            jnp.asarray(vm, jnp.float32), jnp.asarray(scene.Ks[i : i + 1]),
-            scene.width, scene.height,
-        )
-        colors = jnp.zeros((1, n, 3))
-        _, alpha, depth_acc = rasterize_reference(
-            proj, colors, scene.width, scene.height
-        )
-        ed = np.asarray(depth_acc / jnp.maximum(alpha, 1e-8))[0]
-        a = np.asarray(alpha)[0]
-        ed = np.where(a > 0.3, ed, np.median(ed[a > 0.3]))
-        depths.append(ed.astype(np.float32))
+        ed = scene.depths[i]
+        a = scene.alphas[i]
+        fill = np.median(ed[a > 0.3]) if (a > 0.3).any() else 1.0
+        depths.append(np.where(a > 0.3, ed, fill).astype(np.float32))
 
     counter = {"i": 0}
 
@@ -114,6 +95,10 @@ def run(init_type, data_dir, scene, steps, result_dir):
         save_steps=[steps],
         tb_every=200,
     )
+    # Mid-run recompiles permanently degrade latency on the axon relay
+    # (PERF.md); pin a generous static pair capacity instead.
+    cfg.auto_pair_capacity = False
+    cfg.pair_capacity = 1 << 19
     cfg.strategy.refine_start_iter = 300
     cfg.strategy.refine_stop_iter = int(steps * 0.6)
     cfg.strategy.reset_every = max(steps // 4, 600)
@@ -151,10 +136,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--out", default="results/e2e")
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--cams", type=int, default=24)
+    ap.add_argument("--gaussians", type=int, default=600)
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
-    scene, data_dir = build_scene(args.out)
+    scene, data_dir = build_scene(
+        args.out, width=args.width, height=args.height,
+        n_cams=args.cams, n_gaussians=args.gaussians,
+    )
 
     results = {}
     for init_type in ["sfm", "monocular_depth"]:
