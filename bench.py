@@ -70,14 +70,29 @@ def main():
         chunk_size=int(_os.environ.get("GS_BENCH_CHUNK", 128)),
     )
     cfg.pair_capacity = int(_os.environ.get("GS_BENCH_PAIR_CAP", cfg.pair_capacity))
-    # Fixed init scale ~ mean spacing of the cloud: multi-M gaussian counts
-    # arise from densification in practice, never from a kNN scale init —
-    # and the O(N^2) init kNN at 3M+ points exceeds the relay's program
-    # watchdog. Volume 6x4x7 / n ^ (1/3).
-    spacing = float((6.0 * 4.0 * 7.0 / n) ** (1.0 / 3.0))
+    # Snug-cap cache: remembers the right-sized pair capacity per scenario
+    # so later invocations (e.g. the driver's) compile exactly once.
+    _cache_path = _os.path.join(_os.path.dirname(__file__), ".bench_cap_cache.json")
+    _cache_key = f"{n}_{cfg.tile_size}_{cfg.chunk_size}"
+    if "GS_BENCH_PAIR_CAP" not in _os.environ:
+        try:
+            with open(_cache_path) as _f:
+                cfg.pair_capacity = int(json.load(_f)[_cache_key])
+            print(f"[bench] cached cap {cfg.pair_capacity}", file=_sys.stderr)
+        except (OSError, KeyError, ValueError):
+            pass
+    # Real kNN scale init (the reference's init, runner.py:87-91) up to 1M
+    # points. Beyond that the O(N^2) init kNN exceeds the relay's program
+    # watchdog, so pin the equivalent constant (mean kNN(3) distance of
+    # this uniform cloud = 0.0609 at 300k via scipy cKDTree, density^-1/3
+    # scaling) — multi-M states come from densification in practice and
+    # never re-run scale init anyway.
+    fixed = (
+        0.0609 * float((n / 300_000.0) ** (-1.0 / 3.0)) if n > 1_000_000 else None
+    )
     gstate = init_from_points(
         jnp.asarray(pts), jnp.asarray(rgbs), cap, cfg.sh_degree,
-        fixed_scale=spacing,
+        fixed_scale=fixed,
     )
     adam = init_adam_state(gstate.params)
     acfg = make_adam_config(cfg, scene_scale=4.0)
@@ -118,9 +133,25 @@ def main():
     # (program-swap behavior, PERF.md), so the timed run must be the only
     # compile of its process.
     if snug != cfg.pair_capacity and "GS_BENCH_PAIR_CAP" not in _os.environ:
+        try:
+            try:
+                with open(_cache_path) as _f:
+                    _cache = json.load(_f)
+            except (OSError, ValueError):
+                _cache = {}
+            _cache[_cache_key] = snug
+            with open(_cache_path, "w") as _f:
+                json.dump(_cache, _f)
+        except OSError:
+            pass
         env = dict(_os.environ)
         env["GS_BENCH_PAIR_CAP"] = str(snug)
         _os.execve(_sys.executable, [_sys.executable, __file__], env)
+    elif snug > cfg.pair_capacity:
+        print(
+            f"[bench] WARNING: overflowing cap {cfg.pair_capacity} < {snug}",
+            file=_sys.stderr,
+        )
     del out
 
     # Time a closed 30-step chain with a single final scalar fetch: each
