@@ -39,7 +39,9 @@ def run(n, width, height, pair_cap=None, steps=6):
     rgbs = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     cfg = Config(
         max_steps=30_000, sh_degree=3, max_gaussians=cap,
-        pair_capacity=pair_cap or (1 << 21), tile_size=16,
+        pair_capacity=pair_cap or (1 << 21),
+        tile_size=int(os.environ.get("GS_BENCH_TILE", 32)),
+        chunk_size=int(os.environ.get("GS_BENCH_CHUNK", 128)),
     )
     gstate = init_from_points(jnp.asarray(pts), jnp.asarray(rgbs), cap, 3)
     adam = init_adam_state(gstate.params)

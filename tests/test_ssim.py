@@ -67,3 +67,21 @@ def test_psnr():
     y = jnp.full((1, 8, 8, 3), 0.1)
     assert float(psnr(x, y)) == pytest.approx(20.0, abs=1e-4)
     assert float(psnr(x, x)) > 100.0
+
+
+def test_ssim_flat_background_bounded():
+    """Flat (zero-variance) regions must not blow up the SSIM map: the
+    variance terms are tiny differences compared against c2=9e-4, which
+    catastrophically cancel if the blurs run at reduced precision (the
+    TPU's default 1-pass bf16 convs produced ssim ~ 1.9 on real renders
+    with black backgrounds — garbage gradients, diverging training)."""
+    rng = np.random.default_rng(0)
+    a = np.zeros((1, 96, 128, 3), np.float32)
+    a[0, 20:60, 30:90] = rng.uniform(0, 1, (40, 60, 3))
+    b = a.copy()
+    b[0, 20:60, 30:90] = np.clip(
+        a[0, 20:60, 30:90] + rng.normal(0, 0.05, (40, 60, 3)), 0, 1
+    )
+    v = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert 0.9 < v <= 1.0 + 1e-5
+    assert float(ssim(jnp.asarray(a), jnp.asarray(a))) == pytest.approx(1.0, abs=1e-5)
