@@ -292,16 +292,15 @@ def _bwd_kernel(
         # XLA side can sort records by gaussian for the segment reduction.
         k = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
         inrange = ((k >= start - base) & (k < end - base)).astype(jnp.float32)
-        grec = jnp.concatenate(
-            [
-                dmx, dmy, dca, dcb, dcc, dopa,
-                dcols,  # dr, dg, db at PACK_R..PACK_B, ddepth at PACK_DEPTH
-                d[:, PACK_GID : PACK_GID + 1],
-                inrange,
-                jnp.zeros((chunk, PACK_COLS - 12), jnp.float32),
-            ],
-            axis=1,
-        )
+        parts = [
+            dmx, dmy, dca, dcb, dcc, dopa,
+            dcols,  # dr, dg, db at PACK_R..PACK_B, ddepth at PACK_DEPTH
+            d[:, PACK_GID : PACK_GID + 1],
+            inrange,
+        ]
+        if PACK_COLS > 12:  # zero-width vectors are invalid under Mosaic
+            parts.append(jnp.zeros((chunk, PACK_COLS - 12), jnp.float32))
+        grec = jnp.concatenate(parts, axis=1)
         # Reuse of a gbuf slot must wait for its previous write to drain.
         @pl.when(rev >= 2)
         def _():

@@ -29,19 +29,20 @@ def _blur_valid(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     wy = jnp.asarray(window).reshape(k, 1, 1, 1)
     wx = jnp.asarray(window).reshape(1, k, 1, 1)
     dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
-    # Full f32 precision: TPU convs default to 1-pass bf16, and the SSIM
-    # variance terms are differences E[x^2] - mu^2 compared against
-    # c2 = 9e-4 — bf16 rounding catastrophically cancels on low-variance
-    # regions (flat backgrounds), yielding ssim >> 1 and garbage gradients.
+    # Raised precision (bf16x3 ~ f32): TPU convs default to 1-pass bf16,
+    # and the SSIM variance terms are differences E[x^2] - mu^2 compared
+    # against c2 = 9e-4 — bf16 rounding catastrophically cancels on
+    # low-variance regions (flat backgrounds), yielding ssim >> 1 and
+    # garbage gradients that diverge real-scene training.
     y = jax.lax.conv_general_dilated(
         x, jnp.tile(wy, (1, 1, 1, c)), (1, 1), "VALID",
         dimension_numbers=dn, feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     y = jax.lax.conv_general_dilated(
         y, jnp.tile(wx, (1, 1, 1, c)), (1, 1), "VALID",
         dimension_numbers=dn, feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     return y
 

@@ -41,7 +41,10 @@ PACK_R, PACK_G, PACK_B = 6, 7, 8
 PACK_DEPTH = 9
 PACK_GID = 10  # gaussian id (int32 bits viewed as f32), rides the gathers
 PACK_VALID = 11  # 1.0 for in-range pairs (written by the backward kernel)
-PACK_COLS = 16  # padded for aligned DMA
+# 12 used columns; padded to 16 because Mosaic DMA slices must be 8-aligned
+# along the sublane dim (12 was rejected: "Slice shape along dimension 0
+# must be aligned to tiling (8)").
+PACK_COLS = 16
 
 
 class TileBinning(NamedTuple):
@@ -135,23 +138,27 @@ def bin_gaussians(
     )
 
     # One gather of the packed per-gaussian table (span + depth key) instead
-    # of five: gathers dominate binning cost on TPU. Positive-depth float
-    # bits are monotone as int32 -> cheap sortable key packed alongside.
+    # of five: gathers dominate binning cost on TPU. The (x0, y0, width)
+    # span rides one int32 as 10-bit fields (tile grids up to 1024 tiles
+    # per dim = 16k px), so the table is 3 columns, not 5. Positive-depth
+    # float bits are monotone as int32 -> cheap sortable key packed
+    # alongside.
+    assert max(ntx, nty) < 1024, "tile grid exceeds 10-bit span packing"
     depth_bits = jax.lax.bitcast_convert_type(jnp.maximum(dep, 0.0), jnp.int32)
-    span_tbl = jnp.stack(
-        [x0, y0, x1 - x0 + 1, offsets, depth_bits], axis=1
-    )
-    g = span_tbl[pair_gid]  # [CAP, 5]
+    span = (x0 << 20) | (y0 << 10) | (x1 - x0 + 1)
+    span_tbl = jnp.stack([span, offsets, depth_bits], axis=1)
+    g = span_tbl[pair_gid]  # [CAP, 3]
     idx = jnp.arange(pair_capacity, dtype=jnp.int32)
-    local = idx - g[:, 3]
-    tx = g[:, 0] + local % g[:, 2]
-    ty = g[:, 1] + local // g[:, 2]
+    local = idx - g[:, 1]
+    w_span = g[:, 0] & 0x3FF
+    tx = (g[:, 0] >> 20) + local % w_span
+    ty = ((g[:, 0] >> 10) & 0x3FF) + local // w_span
     cam = pair_gid // n
     tile = cam * tiles_per_cam + ty * ntx + tx
     tile = jnp.where(pair_valid, tile, num_tiles)  # sentinel sorts to the end
 
     tile_s, _, gid_s = jax.lax.sort(
-        (tile, g[:, 4], pair_gid), num_keys=2
+        (tile, g[:, 2], pair_gid), num_keys=2
     )
 
     # Binary search per tile boundary ('scan': ~21 gather rounds of

@@ -145,7 +145,8 @@ if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 1296
     h = int(sys.argv[3]) if len(sys.argv) > 3 else 840
-    logdir = run(n, w, h)
+    pc = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    logdir = run(n, w, h, pair_cap=pc)
     try:
         parse_csv(logdir)
     except Exception as e:
