@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops.sh import eval_sh_bases, num_sh_bases
@@ -217,3 +218,134 @@ def color_correct(
         w, *_ = jnp.linalg.lstsq(a, b, rcond=None)
         out.append(jnp.clip(a @ w, 0.0, 1.0))
     return jnp.stack(out, axis=-1).reshape(img.shape)
+
+
+# ------------------------------------------------------------------ CP4D grid
+
+
+class CP4DGridParams(NamedTuple):
+    """Low-rank 4D bilateral grid (reference lib_bilagrid.py:399-574):
+    a rank-R CP decomposition of a (12, W, Z, Y, X) affine grid over
+    (gray, z, y, x). fac0 mixes rank coefficients to 3x4 affines; each
+    spatial dim has a frozen init factor plus a learnable residual (TV-
+    regularized), sampled by 1-D linear interpolation."""
+
+    fac0: jnp.ndarray  # [12, rank]
+    facs_init: tuple  # 4 x [rank, grid_dim] frozen (x, y, z, w order)
+    facs_resid: tuple  # 4 x [rank, grid_dim] learnable residuals
+    gray_w: tuple  # learnable rgb->gray MLP (list of (W, b)) or ()
+
+
+_IDENTITY_AFFINE = np.eye(3, 4, dtype=np.float32).reshape(12)
+
+
+def init_cp4d_grid(
+    key,
+    grid_x: int = 16,
+    grid_y: int = 16,
+    grid_z: int = 16,
+    grid_w: int = 8,
+    rank: int = 5,
+    learn_gray: bool = True,
+    gray_mlp_width: int = 8,
+    gray_mlp_depth: int = 2,
+    init_noise_scale: float = 1e-6,
+) -> CP4DGridParams:
+    """Identity-affine init: the reference runs tensorly's parafac on the
+    (noised) identity grid; the identity grid is exactly rank-1, so we
+    build the equivalent factorization directly — column 0 carries the
+    identity, the remaining rank columns start at noise scale."""
+    ks = jax.random.split(key, 6 + 2 * max(gray_mlp_depth, 1))
+    fac0 = jnp.concatenate(
+        [
+            jnp.asarray(_IDENTITY_AFFINE)[:, None],
+            init_noise_scale
+            * jax.random.normal(ks[0], (12, rank - 1)),
+        ],
+        axis=1,
+    )
+    dims = (grid_x, grid_y, grid_z, grid_w)
+    facs_init = tuple(
+        jnp.concatenate(
+            [
+                jnp.ones((1, d)),
+                init_noise_scale * jax.random.normal(ks[1 + i], (rank - 1, d)),
+            ],
+            axis=0,
+        )
+        for i, d in enumerate(dims)
+    )
+    facs_resid = tuple(jnp.zeros((rank, d)) for d in dims)
+    gray_w = ()
+    if learn_gray:
+        widths = [3] + [gray_mlp_width] * (gray_mlp_depth - 1) + [1]
+        layers = []
+        for i in range(len(widths) - 1):
+            w = jax.random.normal(ks[5 + i], (widths[i], widths[i + 1])) * (
+                1.0 / np.sqrt(widths[i])
+            )
+            layers.append((w, jnp.zeros((widths[i + 1],))))
+        gray_w = tuple(layers)
+    return CP4DGridParams(
+        fac0=fac0, facs_init=facs_init, facs_resid=facs_resid, gray_w=gray_w
+    )
+
+
+def _interp1d(fac: jnp.ndarray, coord: jnp.ndarray) -> jnp.ndarray:
+    """Linear interp of [rank, G] rows at coord in [-1, 1] (torch
+    grid_sample align_corners=True, border padding). Returns [N, rank]."""
+    g = fac.shape[1]
+    t = jnp.clip((coord + 1.0) * 0.5, 0.0, 1.0) * (g - 1)
+    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, g - 1)
+    i1 = jnp.clip(i0 + 1, 0, g - 1)
+    f = t - i0
+    return fac.T[i0] * (1.0 - f[:, None]) + fac.T[i1] * f[:, None]
+
+
+def cp4d_rgb2gray(params: CP4DGridParams, rgb: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] guidance; learnable MLP (scaled tanh x2) or BT601 weights."""
+    if params.gray_w:
+        h = rgb
+        n = len(params.gray_w)
+        for i, (w, b) in enumerate(params.gray_w):
+            h = h @ w + b
+            if i < n - 1:
+                h = jax.nn.relu(h)
+        return 2.0 * jnp.tanh(h[..., 0])
+    return rgb @ jnp.asarray([0.299, 0.587, 0.114]) * 2.0 - 1.0
+
+
+def slice_cp4d_grid(
+    params: CP4DGridParams,
+    xyz: jnp.ndarray,  # [..., 3] world coords
+    rgb: jnp.ndarray,  # [..., 3]
+    bound: float = 2.0,
+) -> jnp.ndarray:
+    """Slice per-point 3x4 color affines from the low-rank grid [..., 3, 4]."""
+    sh = xyz.shape[:-1]
+    x = xyz.reshape(-1, 3) / bound
+    c = rgb.reshape(-1, 3)
+    gray = cp4d_rgb2gray(params, c)
+    coords = [x[:, 0], x[:, 1], x[:, 2], gray]
+    coef = jnp.ones((x.shape[0], params.fac0.shape[1]))
+    for fac_i, fac_r, co in zip(
+        params.facs_init, params.facs_resid, coords
+    ):
+        coef = coef * _interp1d(fac_i + fac_r, co)
+    mat = coef @ params.fac0.T  # [N, 12]
+    return mat.reshape(*sh, 3, 4)
+
+
+def cp4d_apply(params: CP4DGridParams, xyz, rgb, bound: float = 2.0):
+    """Apply the sliced affine to rgb: [..., 3]."""
+    m = slice_cp4d_grid(params, xyz, rgb, bound)
+    return jnp.einsum("...ij,...j->...i", m[..., :3], rgb) + m[..., 3]
+
+
+def cp4d_tv_loss(params: CP4DGridParams) -> jnp.ndarray:
+    """TV on the learnable factor residuals (reference tv_loss :533-541)."""
+    tv = jnp.float32(0.0)
+    for fac in params.facs_resid:
+        d = fac[:, 1:] - fac[:, :-1]
+        tv = tv + jnp.mean(d * d)
+    return tv

@@ -287,3 +287,42 @@ def test_sharded_mcmc_relocation_matches_single_device():
         np.asarray(g1.params.opacities),
         atol=1e-5,
     )
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host wiring (parallel/multihost.py) degenerates correctly to
+    the single-process case: initialize is a no-op without a coordinator,
+    the global mesh matches make_mesh, and the sharded step runs on it."""
+    from gs_init_tpu.parallel.multihost import (
+        initialize_multihost,
+        local_batch_slice,
+        make_global_mesh,
+    )
+
+    pid, pcount = initialize_multihost()
+    assert (pid, pcount) == (0, 1)
+    mesh = make_global_mesh(n_data=2, n_gauss=4)
+    assert mesh.shape == {"data": 2, "gauss": 4}
+    assert local_batch_slice(8) == slice(0, 8)
+
+    scene, cfg, gstate, adam, acfg = _setup()
+    sh_step = make_sharded_train_step(cfg, acfg, scene.width, scene.height, mesh)
+    gauss_s, data_s, repl_s = shardings(mesh)
+    gstate = jax.tree.map(lambda x: jax.device_put(x, gauss_s), gstate)
+    adam = jax.tree.map(
+        lambda x: jax.device_put(x, gauss_s if x.ndim > 0 else repl_s), adam
+    )
+    sstate = jax.tree.map(
+        lambda x: jax.device_put(x, gauss_s), dstrat.init_state(cfg.max_gaussians)
+    )
+    from gs_init_tpu.engine.train_step import AuxParams, init_aux_opt
+
+    aux, aux_opt = AuxParams(), init_aux_opt(AuxParams())
+    batch = jax.tree.map(
+        lambda x: jax.device_put(x, data_s), _batch(scene, np.array([0, 3]))
+    )
+    _, _, _, _, _, m = sh_step(
+        gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0),
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(m["loss"]))
