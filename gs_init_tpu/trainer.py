@@ -49,6 +49,18 @@ def run_with_config(cfg: Config):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        # Multi-host launch (one process per host, reference NCCL launcher
+        # equivalent — SURVEY.md §5.8): join the distributed runtime before
+        # any jax use.
+        from .parallel.multihost import initialize_multihost
+
+        pid, n = initialize_multihost()
+        logging.info("multihost: process %d of %d", pid, n)
     cfg = parse_cli(
         argv if argv is not None else sys.argv[1:],
         build_presets(),
