@@ -37,6 +37,11 @@ def _load():
         f32p, f32p, f32p, ctypes.c_int64,
         ctypes.c_float, ctypes.c_float, f32p, f32p,
     ]
+    lib.mdi_subsample_pointcloud_ex.restype = ctypes.c_int64
+    lib.mdi_subsample_pointcloud_ex.argtypes = [
+        f32p, f32p, f32p, ctypes.c_int64,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int, f32p, f32p,
+    ]
     lib.mdi_compute_min_extents.restype = None
     lib.mdi_compute_min_extents.argtypes = [
         f32p, ctypes.c_int64, f32p, f32p, i32p, i32p, ctypes.c_int64, f32p,
@@ -70,7 +75,10 @@ def subsample_pointcloud(
     min_extents: np.ndarray,
     max_aspect_ratio: float = 1.1,
     extent_multiplier: float = 1.0,
+    split_strategy: str = "spatial_median",
 ) -> Tuple[np.ndarray, np.ndarray]:
+    """KD-split merge. split_strategy: spatial_median (reference default) |
+    equal_num_pts | max_gap (reference impl.cpp:248-310)."""
     lib = _load()
     positions = np.ascontiguousarray(positions, np.float32)
     rgbs = np.ascontiguousarray(rgbs, np.float32)
@@ -82,8 +90,10 @@ def subsample_pointcloud(
     n = len(positions)
     out_p = np.empty((n, 3), np.float32)
     out_c = np.empty((n, 3), np.float32)
-    m = lib.mdi_subsample_pointcloud(
+    strategies = {"spatial_median": 0, "equal_num_pts": 1, "max_gap": 2}
+    m = lib.mdi_subsample_pointcloud_ex(
         positions, rgbs, ext, n,
-        float(max_aspect_ratio), float(extent_multiplier), out_p, out_c,
+        float(max_aspect_ratio), float(extent_multiplier),
+        strategies[split_strategy], out_p, out_c,
     )
     return out_p[:m].copy(), out_c[:m].copy()

@@ -120,11 +120,15 @@ void mdi_compute_min_extents(const float* positions, int64_t n,
 }
 
 // positions/rgbs [n*3], min_extents [n]; out buffers sized n*3.
+// split_strategy: 0 = spatial_median (reference default), 1 = equal_num_pts,
+// 2 = max_gap (falls back to spatial_median when the best gap is < 1.5x the
+// mean gap) — reference impl.cpp:248-310.
 // Returns the number of output points.
-int64_t mdi_subsample_pointcloud(const float* positions, const float* rgbs,
-                                 const float* min_extents, int64_t n,
-                                 float max_aspect_ratio, float extent_mult,
-                                 float* out_positions, float* out_rgbs) {
+int64_t mdi_subsample_pointcloud_ex(const float* positions, const float* rgbs,
+                                    const float* min_extents, int64_t n,
+                                    float max_aspect_ratio, float extent_mult,
+                                    int split_strategy, float* out_positions,
+                                    float* out_rgbs) {
     if (n <= 0) return 0;
     const Vec3* pts = reinterpret_cast<const Vec3*>(positions);
     const Vec3* cols = reinterpret_cast<const Vec3*>(rgbs);
@@ -191,12 +195,55 @@ int64_t mdi_subsample_pointcloud(const float* positions, const float* rgbs,
         }
 
         int axis = (f.prev_axis + 1) % 3;
-        float split = (f.box.lo[axis] + f.box.hi[axis]) / 2.0f;
+        float split;
         std::vector<uint32_t> left, right;
-        left.reserve(m / 2);
-        right.reserve(m / 2);
-        for (uint32_t ix : f.idx) {
-            (pts[ix][axis] < split ? left : right).push_back(ix);
+        bool did_split = false;
+        if (split_strategy == 1) {  // equal_num_pts
+            auto mid = f.idx.begin() + f.idx.size() / 2;
+            std::nth_element(f.idx.begin(), mid, f.idx.end(),
+                             [&](uint32_t a, uint32_t b) {
+                                 return pts[a][axis] < pts[b][axis];
+                             });
+            float lo_max = pts[*std::max_element(
+                f.idx.begin(), mid,
+                [&](uint32_t a, uint32_t b) {
+                    return pts[a][axis] < pts[b][axis];
+                })][axis];
+            split = (lo_max + pts[*mid][axis]) / 2.0f;
+            left.assign(f.idx.begin(), mid);
+            right.assign(mid, f.idx.end());
+            did_split = true;
+        } else if (split_strategy == 2) {  // max_gap (fallback: median)
+            std::sort(f.idx.begin(), f.idx.end(),
+                      [&](uint32_t a, uint32_t b) {
+                          return pts[a][axis] < pts[b][axis];
+                      });
+            float dist_max = -1.0f, mean_dist = 0.0f;
+            size_t split_i = 0;
+            for (size_t i = 1; i < m; ++i) {
+                float d = std::abs(pts[f.idx[i]][axis] - pts[f.idx[i - 1]][axis]);
+                mean_dist += d;
+                if (d > dist_max) {
+                    dist_max = d;
+                    split_i = i;
+                }
+            }
+            mean_dist /= float(m - 1);
+            if (dist_max >= 1.5f * mean_dist && split_i > 0) {
+                split = (pts[f.idx[split_i - 1]][axis] +
+                         pts[f.idx[split_i]][axis]) / 2.0f;
+                left.assign(f.idx.begin(), f.idx.begin() + split_i);
+                right.assign(f.idx.begin() + split_i, f.idx.end());
+                did_split = true;
+            }
+        }
+        if (!did_split) {  // spatial_median (default + max_gap fallback)
+            split = (f.box.lo[axis] + f.box.hi[axis]) / 2.0f;
+            left.reserve(m / 2);
+            right.reserve(m / 2);
+            for (uint32_t ix : f.idx) {
+                (pts[ix][axis] < split ? left : right).push_back(ix);
+            }
         }
         Box lb = f.box, rb = f.box;
         lb.hi[axis] = split;
@@ -205,6 +252,15 @@ int64_t mdi_subsample_pointcloud(const float* positions, const float* rgbs,
         stack.push_back(Frame{std::move(right), rb, axis});
     }
     return n_out;
+}
+
+int64_t mdi_subsample_pointcloud(const float* positions, const float* rgbs,
+                                 const float* min_extents, int64_t n,
+                                 float max_aspect_ratio, float extent_mult,
+                                 float* out_positions, float* out_rgbs) {
+    return mdi_subsample_pointcloud_ex(positions, rgbs, min_extents, n,
+                                       max_aspect_ratio, extent_mult, 0,
+                                       out_positions, out_rgbs);
 }
 
 }  // extern "C"

@@ -96,3 +96,33 @@ def test_invalid_inputs():
             np.zeros((4, 2), np.float32),
             np.zeros(4, np.float32),
         )
+
+
+def test_split_strategies():
+    """All three reference split strategies (impl.cpp:248-310) merge the
+    cloud; equal_num_pts and max_gap produce valid (finite, bounded) output
+    and the max_gap fallback path reduces counts like spatial_median."""
+    native = pytest.importorskip("gs_init_tpu.native.subsampling")
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [
+            rng.normal(0, 0.05, (200, 3)),
+            rng.normal(2, 0.05, (200, 3)),
+        ]
+    ).astype(np.float32)
+    rgbs = rng.uniform(0, 1, (400, 3)).astype(np.float32)
+    ext = np.full(400, 0.2, np.float32)
+    results = {}
+    for strat in ["spatial_median", "equal_num_pts", "max_gap"]:
+        p, c = native.subsample_pointcloud(
+            pts, rgbs, ext, extent_multiplier=2.0, split_strategy=strat
+        )
+        assert 0 < len(p) < 400, strat
+        assert np.isfinite(p).all() and np.isfinite(c).all()
+        assert p.min() > -1.0 and p.max() < 3.0
+        results[strat] = len(p)
+    # Two well-separated blobs: spatial_median merges each to ~1 point.
+    # equal_num_pts/max_gap split into thin equal-count slabs that rarely
+    # pass the aspect gate — the reference's own comments call them
+    # "doesn't really work"; we only require valid, non-trivial output.
+    assert results["spatial_median"] <= 10, results
