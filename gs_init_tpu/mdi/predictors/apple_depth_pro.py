@@ -196,7 +196,10 @@ class AppleDepthProPredictor:
             self.variables = convert_depth_pro_checkpoint(sd, self.net)
             _LOGGER.info("DepthPro weights loaded from %s", ckpt)
         elif allow_random_weights:
-            dummy = jnp.zeros((1, input_size // 4, input_size // 4, 3))
+            # Smallest valid input: the 0.25x pyramid level must still be
+            # one full ViT crop. Parameter shapes are input-size-agnostic.
+            s = 4 * self.net.vit_image_size
+            dummy = jnp.zeros((1, s, s, 3))
             self.variables = self.net.init(jax.random.PRNGKey(0), dummy)
             _LOGGER.warning(
                 "DepthPro running with RANDOM weights (explicitly allowed)"
