@@ -8,9 +8,10 @@ register tokens, recurrent RAFT-DPT decode, then the canonical->metric
 de-normalization ``depth * fx_scaled / 1000`` and clamp to [0, 300].
 
 Batched + jitted inference. Official checkpoints must be provided locally
-(zero-egress environment); without them the net runs randomly initialized
-(pipeline/shape testing only) — conversion follows the DA-V2 pattern and is
-validated against real weights as follow-up work.
+(zero-egress environment) and load through metric3d_convert.py, whose name
+map + layout transforms are numerically validated end-to-end against the
+vendored torch model (tests/test_metric3d_parity.py). Without a checkpoint
+the predictor raises unless allow_random_weights is set.
 """
 from __future__ import annotations
 
