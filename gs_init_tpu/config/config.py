@@ -275,6 +275,13 @@ class Config:
     # compositor ("xla", used on CPU/tests and tiny scenes).
     rasterizer_impl: Literal["auto", "pallas", "xla"] = "auto"
 
+    # Device mesh for multi-chip training (TPU equivalent of the reference's
+    # gsplat.distributed launcher, trainer.py:58). "auto": use every visible
+    # device (data axis = gcd(batch_size, n_devices), remainder gaussian
+    # shards); "off": single-device step regardless of device count;
+    # "DxG" (e.g. "2x4"): explicit data x gauss mesh shape.
+    mesh: str = "auto"
+
     # Learning rates (reference runner.py:128-137)
     means_lr: float = 1.6e-4
     scales_lr: float = 5e-3

@@ -101,3 +101,69 @@ def make_scene(
         depths=depths.astype(np.float32),
         alphas=alphas.astype(np.float32),
     )
+
+
+def write_colmap_scene(out_dir: str, scene: SyntheticScene, n_points: int = 64) -> str:
+    """Materialize a synthetic scene as an on-disk COLMAP dataset
+    (images/ + sparse/0 binary model) so the full data layer — parser,
+    undistortion, per-image point indices — is exercised end-to-end."""
+    import os
+
+    import imageio.v2 as imageio
+
+    from . import colmap_io as cio
+
+    data_dir = os.path.join(str(out_dir), "scene")
+    img_dir = os.path.join(data_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    cameras = {
+        1: cio.ColmapCamera(
+            1,
+            "PINHOLE",
+            scene.width,
+            scene.height,
+            np.array(
+                [
+                    scene.Ks[0, 0, 0],
+                    scene.Ks[0, 1, 1],
+                    scene.Ks[0, 0, 2],
+                    scene.Ks[0, 1, 2],
+                ]
+            ),
+        )
+    }
+    pts = scene.points[:n_points].astype(np.float64)
+    ids = np.arange(1, len(pts) + 1, dtype=np.int64)
+    images = {}
+    for i, c2w in enumerate(scene.camtoworlds):
+        w2c = np.linalg.inv(c2w)
+        q = cio.rotmat_to_qvec(w2c[:3, :3])
+        name = f"img_{i:03d}.png"
+        imageio.imwrite(
+            os.path.join(img_dir, name),
+            (scene.images[i] * 255).astype(np.uint8),
+        )
+        cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+        uv = cam[:, :2] / cam[:, 2:3]
+        pix = uv @ scene.Ks[0][:2, :2].T + scene.Ks[0][:2, 2]
+        ok = (
+            (cam[:, 2] > 0)
+            & (pix[:, 0] >= 0)
+            & (pix[:, 0] < scene.width)
+            & (pix[:, 1] >= 0)
+            & (pix[:, 1] < scene.height)
+        )
+        sel = np.where(ok)[0][:40]
+        images[i + 1] = cio.ColmapImage(
+            i + 1, q, w2c[:3, 3], 1, name, pix[sel], ids[sel]
+        )
+    rec = cio.ColmapReconstruction(
+        cameras=cameras,
+        images=images,
+        points_xyz=pts,
+        points_rgb=(scene.rgbs[:n_points] * 255).astype(np.uint8),
+        points_err=np.full(len(pts), 0.5),
+        point_ids=ids,
+    )
+    cio.write_reconstruction_bin(os.path.join(data_dir, "sparse/0"), rec)
+    return data_dir

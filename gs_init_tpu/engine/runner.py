@@ -38,6 +38,23 @@ from .strategy import mcmc as mcmc_strat
 from .train_step import AuxParams, Batch, init_aux_opt, make_train_step
 
 
+def resolve_mesh(cfg) -> "tuple[int, int] | None":
+    """Decide the (data, gauss) mesh shape from cfg.mesh and the visible
+    devices; None means the single-device step (see config.Config.mesh)."""
+    if cfg.mesh == "off":
+        return None
+    if cfg.mesh == "auto":
+        n_dev = len(jax.devices())
+        if n_dev <= 1:
+            return None
+        import math
+
+        n_data = math.gcd(cfg.batch_size, n_dev)
+        return n_data, n_dev // n_data
+    d, g = cfg.mesh.lower().split("x")
+    return int(d), int(g)
+
+
 class Runner:
     def __init__(
         self,
@@ -72,12 +89,41 @@ class Runner:
         first = self.trainset[0]
         self.height, self.width = first["image"].shape[:2]
 
+        # Multi-device: build the (data x gauss) mesh BEFORE any state so
+        # the gaussian capacity can be rounded to the shard count. This is
+        # the product path to multi-chip training (the reference launches
+        # via gsplat.distributed.cli, trainer.py:58; ours is the mesh=(1,1)
+        # single-device special case of the same engine).
+        self.mesh = None
+        self._shardings = None
+        mesh_shape = resolve_mesh(cfg)
+        if mesh_shape is not None and mesh_shape != (1, 1):
+            from ..parallel.shard import make_mesh, shardings
+
+            n_data, n_gauss = mesh_shape
+            if cfg.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} not divisible by the "
+                    f"data mesh axis {n_data}"
+                )
+            if cfg.max_gaussians % n_gauss:
+                new_cap = -(-cfg.max_gaussians // n_gauss) * n_gauss
+                print(
+                    f"[runner] rounding max_gaussians {cfg.max_gaussians} -> "
+                    f"{new_cap} (divisible by {n_gauss} gaussian shards)"
+                )
+                cfg.max_gaussians = new_cap
+            self.mesh = make_mesh(n_data, n_gauss)
+            self._shardings = shardings(self.mesh)
+            print(f"[runner] device mesh: {n_data} data x {n_gauss} gauss")
+
         self._init_gaussians()
         self.acfg = make_adam_config(cfg, self.scene_scale, cfg.batch_size)
         self.adam = init_adam_state(self.gstate.params)
         self._init_strategy()
         self._init_aux()
-        self.step_fn = make_train_step(cfg, self.acfg, self.width, self.height)
+        self._place_state()
+        self._build_step_fn()
         self.key = jax.random.PRNGKey(cfg.seed)
         self.global_step = 0
         # Per-phase wall-clock accounting (data loading vs device step).
@@ -191,6 +237,34 @@ class Runner:
             mcmc_strat.add_noise, static_argnames=("lr", "cfg")
         )
 
+    def _build_step_fn(self):
+        cfg = self.cfg
+        if self.mesh is not None:
+            from ..parallel.shard import make_sharded_train_step
+
+            self.step_fn = make_sharded_train_step(
+                cfg, self.acfg, self.width, self.height, self.mesh
+            )
+        else:
+            self.step_fn = make_train_step(
+                cfg, self.acfg, self.width, self.height
+            )
+
+    def _place_state(self):
+        """Pin gaussian/optimizer/strategy state to the gauss axis and aux
+        groups replicated. No-op without a mesh; re-invoked after refine /
+        relocate so GSPMD output shardings never drift between steps."""
+        if self.mesh is None:
+            return
+        gauss_s, _, repl_s = self._shardings
+        put_g = lambda x: jax.device_put(x, gauss_s if x.ndim > 0 else repl_s)
+        put_r = lambda x: jax.device_put(x, repl_s)
+        self.gstate = jax.tree.map(put_g, self.gstate)
+        self.adam = jax.tree.map(put_g, self.adam)
+        self.sstate = jax.tree.map(put_g, self.sstate)
+        self.aux = jax.tree.map(put_r, self.aux)
+        self.aux_opt = jax.tree.map(put_r, self.aux_opt)
+
     @property
     def writer(self):
         if self._writer is None:
@@ -243,6 +317,11 @@ class Runner:
             batch = batch._replace(
                 depth_points=jnp.asarray(dp), depth_values=jnp.asarray(dv)
             )
+        if self.mesh is not None:
+            _, data_s, _ = self._shardings
+            batch = jax.tree.map(
+                lambda x: jax.device_put(x, data_s), batch
+            )
         return batch
 
     def setup_train(self):
@@ -279,7 +358,7 @@ class Runner:
             f"(observed {pairs} pairs, overflow {overflow}) at step {step}"
         )
         cfg.pair_capacity = new_cap
-        self.step_fn = make_train_step(cfg, self.acfg, self.width, self.height)
+        self._build_step_fn()
 
     def train_iteration(self, step: int) -> Dict[str, float]:
         cfg = self.cfg
@@ -300,6 +379,7 @@ class Runner:
         s = cfg.strategy
         if step == 0 or (step % s.refine_every == 0 and step > 0):
             self._maybe_retune_capacity(metrics, step)
+        refined = False
         if self._strategy_kind == "default":
             # gsplat's DefaultStrategy.step_post_backward returns early once
             # step >= refine_stop_iter, so BOTH refine and opacity reset stop
@@ -316,10 +396,12 @@ class Runner:
                         self.gstate, self.adam, self.sstate, k,
                         self.scene_scale, s, jnp.int32(step),
                     )
+                    refined = True
                 if step % s.reset_every == 0 and step > 0:
                     self.gstate, self.adam = self._reset_jit(
                         self.gstate, self.adam, s
                     )
+                    refined = True
         else:  # mcmc
             if (
                 s.refine_start_iter < step < s.refine_stop_iter
@@ -329,11 +411,16 @@ class Runner:
                 self.gstate, self.adam, self.sstate = self._relocate_jit(
                     self.gstate, self.adam, self.sstate, k, s
                 )
+                refined = True
             self.key, k = jax.random.split(self.key)
             lr_now = float(
                 self.acfg.lrs.means * self.acfg.means_decay_gamma**step
             )
             self.gstate = self._add_noise_jit(self.gstate, k, lr_now, s)
+        if refined and self.mesh is not None:
+            # Refine/relocate run under plain jit; GSPMD may emit outputs
+            # with drifted shardings — pin them back to the gauss axis.
+            self._place_state()
         if (
             cfg.profile_start >= 0
             and step == cfg.profile_start + cfg.profile_steps - 1
@@ -572,6 +659,7 @@ class Runner:
                 jnp.asarray(data[f"aux/{i}"]) for i in range(len(leaves))
             ]
             self.aux = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        self._place_state()
         self.global_step = int(data["step"])
         return self.global_step
 

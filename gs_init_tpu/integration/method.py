@@ -184,8 +184,8 @@ class GsInitTpuMethod:
                 app = app._replace(embeds=jnp.asarray(embedding)[None])
             dirs = jnp.asarray(means)[None] - jnp.asarray(center)[None, None]
             resid = appearance_colors(
-                app._replace(feats=app.feats[jnp.asarray(alive)])
-                if app.feats.shape[0] != means.shape[0]
+                app._replace(features=app.features[jnp.asarray(alive)])
+                if app.features.shape[0] != means.shape[0]
                 else app,
                 jnp.zeros((1,), jnp.int32),
                 dirs,

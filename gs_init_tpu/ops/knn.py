@@ -42,31 +42,34 @@ def knn(
         [points, jnp.zeros((ppad, dim), points.dtype)]
     ).reshape(-1, point_chunk, dim)
     p_sq = jnp.sum(p * p, axis=-1)
-    bases = (
-        jnp.arange(p.shape[0], dtype=jnp.int32)[:, None] * point_chunk
-        + jnp.arange(point_chunk, dtype=jnp.int32)[None, :]
-    )
+    starts = jnp.arange(p.shape[0], dtype=jnp.int32) * point_chunk
+    col = jnp.arange(point_chunk, dtype=jnp.int32)
 
     def body(qc):
         q_sq = jnp.sum(qc * qc, axis=-1, keepdims=True)
 
         def pblock(carry, blk):
+            # Winner indices are derived arithmetically from the top-k
+            # selection (sel < k -> previous best, else start + sel - k)
+            # instead of concatenating a [chunk, k+point_chunk] broadcast
+            # iota — XLA constant-folds that padded iota for seconds at
+            # point_chunk=16384.
             best_d, best_i = carry
-            pts_b, psq_b, idx_b = blk
+            pts_b, psq_b, start = blk
             d2 = q_sq - 2.0 * qc @ pts_b.T + psq_b[None, :]
-            d2 = jnp.where(idx_b[None, :] < n, d2, jnp.inf)  # padded rows
+            d2 = jnp.where(start + col[None, :] < n, d2, jnp.inf)
             cat_d = jnp.concatenate([best_d, d2], axis=1)
-            cat_i = jnp.concatenate(
-                [best_i, jnp.broadcast_to(idx_b[None, :], d2.shape)], axis=1
-            )
             neg, sel = jax.lax.top_k(-cat_d, k)
-            return (-neg, jnp.take_along_axis(cat_i, sel, axis=1)), None
+            keep = sel < k
+            old = jnp.take_along_axis(best_i, jnp.where(keep, sel, 0), axis=1)
+            new_i = jnp.where(keep, old, start + sel - k)
+            return (-neg, new_i), None
 
         init = (
             jnp.full((chunk, k), jnp.inf, jnp.float32),
             jnp.zeros((chunk, k), jnp.int32),
         )
-        (best_d, best_i), _ = jax.lax.scan(pblock, init, (p, p_sq, bases))
+        (best_d, best_i), _ = jax.lax.scan(pblock, init, (p, p_sq, starts))
         return jnp.maximum(best_d, 0.0), best_i
 
     d2, idx = jax.lax.map(body, q)

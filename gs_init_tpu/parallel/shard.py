@@ -90,7 +90,10 @@ def make_sharded_train_step(
     use_pallas = cfg.rasterizer_impl == "pallas" or (
         cfg.rasterizer_impl == "auto" and jax.default_backend() != "cpu"
     )
-    use_absgrad = bool(getattr(cfg.strategy, "absgrad", False))
+    # MCMC relocation never reads grad2d stats — skip the pair tap and the
+    # stats accumulation (mirrors the single-device step's track_stats).
+    track_stats = type(cfg.strategy).__name__ != "MCMCStrategyConfig"
+    use_absgrad = bool(getattr(cfg.strategy, "absgrad", False)) and track_stats
     want_depth = bool(cfg.depth_loss)
 
     def local_loss(params, dummy, pair_dummy, aux: AuxParams, alive,
@@ -158,11 +161,15 @@ def make_sharded_train_step(
         opac2d = gather(proj.opacities)
         colors = gather(colors)
 
+        overflow = jnp.int32(0)
+        pairs = jnp.int32(0)
         if use_pallas:
             binning = bin_gaussians(
                 means2d, radii, depths, width, height,
                 cfg.tile_size, cfg.pair_capacity, chunk=cfg.chunk_size,
             )
+            overflow = binning.overflow
+            pairs = binning.tile_starts[-1]
             table = pack_table(means2d, conics, opac2d, colors, depths)
             num_tiles = c_local * binning.num_tiles_x * binning.num_tiles_y
             pd = (
@@ -251,7 +258,10 @@ def make_sharded_train_step(
                 jax.lax.psum(s, "gauss") / (cap_total * 3)
             )
 
-        return loss_local, dict(l1=l1, ssim=ssim_val, radii=radii)
+        return loss_local, dict(
+            l1=l1, ssim=ssim_val, radii=radii,
+            overflow=overflow, pairs=pairs, alpha_mean=jnp.mean(alpha),
+        )
 
     def device_step(params, alive, aux: AuxParams, batch, step, key):
         c_local = batch.pixels.shape[0]
@@ -299,7 +309,18 @@ def make_sharded_train_step(
             stats_local = dgrads
         l1 = jax.lax.pmean(auxd["l1"], "data")
         ssim_val = jax.lax.pmean(auxd["ssim"], "data")
-        return loss, grads, dgrads, agrads, stats_local, radii_local, l1, ssim_val
+        # Pair capacity is PER data-shard: report the worst shard so the
+        # runner's auto-retune sizes the capacity for it (Weak #5: sharded
+        # overflow must not be silent).
+        scalars = dict(
+            overflow=jax.lax.pmax(auxd["overflow"], "data"),
+            pairs=jax.lax.pmax(auxd["pairs"], "data"),
+            alpha_mean=jax.lax.pmean(auxd["alpha_mean"], "data"),
+        )
+        return (
+            loss, grads, dgrads, agrads, stats_local, radii_local, l1,
+            ssim_val, scalars,
+        )
 
     from jax import shard_map
 
@@ -323,6 +344,7 @@ def make_sharded_train_step(
             P("data", "gauss"),  # radii
             P(),
             P(),
+            P(),  # scalar telemetry (overflow/pairs/alpha_mean)
         ),
         check_vma=False,
     )
@@ -332,9 +354,9 @@ def make_sharded_train_step(
         gstate: GaussianState, adam, sstate, aux: AuxParams,
         aux_opt: AuxOptState, batch: Batch, step, key,
     ):
-        loss, grads, dgrads, agrads, stats, radii, l1, ssim_val = smapped(
-            gstate.params, gstate.alive, aux, batch, step, key
-        )
+        (
+            loss, grads, dgrads, agrads, stats, radii, l1, ssim_val, scalars,
+        ) = smapped(gstate.params, gstate.alive, aux, batch, step, key)
         params, adam = adam_update(gstate.params, grads, adam, acfg, step)
 
         decay = acfg.means_decay_gamma ** step.astype(jnp.float32)
@@ -359,10 +381,11 @@ def make_sharded_train_step(
         aux = aux._replace(**new_aux)
         aux_opt = aux_opt._replace(**new_opt)
 
-        sstate = default_strategy.update_state(
-            sstate, stats, radii, width, height
-        )
-        metrics = dict(loss=loss, l1=l1, ssim=ssim_val)
+        if track_stats:
+            sstate = default_strategy.update_state(
+                sstate, stats, radii, width, height
+            )
+        metrics = dict(loss=loss, l1=l1, ssim=ssim_val, **scalars)
         return gstate._replace(params=params), adam, sstate, aux, aux_opt, metrics
 
     return train_step

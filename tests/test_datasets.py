@@ -24,64 +24,9 @@ from gs_init_tpu.utils.ply import (
 
 def _write_colmap_scene(tmp_path, scene, n_points=64):
     """Materialize a synthetic scene as a COLMAP dataset on disk."""
-    import imageio.v2 as imageio
+    from gs_init_tpu.datasets.synthetic import write_colmap_scene
 
-    rng = np.random.default_rng(0)
-    data_dir = str(tmp_path / "scene")
-    img_dir = os.path.join(data_dir, "images")
-    os.makedirs(img_dir, exist_ok=True)
-    cameras = {
-        1: cio.ColmapCamera(
-            1,
-            "PINHOLE",
-            scene.width,
-            scene.height,
-            np.array(
-                [
-                    scene.Ks[0, 0, 0],
-                    scene.Ks[0, 1, 1],
-                    scene.Ks[0, 0, 2],
-                    scene.Ks[0, 1, 2],
-                ]
-            ),
-        )
-    }
-    pts = scene.points[:n_points].astype(np.float64)
-    ids = np.arange(1, len(pts) + 1, dtype=np.int64)
-    images = {}
-    for i, c2w in enumerate(scene.camtoworlds):
-        w2c = np.linalg.inv(c2w)
-        q = cio.rotmat_to_qvec(w2c[:3, :3])
-        name = f"img_{i:03d}.png"
-        imageio.imwrite(
-            os.path.join(img_dir, name),
-            (scene.images[i] * 255).astype(np.uint8),
-        )
-        # Project some points for per-image observations.
-        cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
-        uv = cam[:, :2] / cam[:, 2:3]
-        pix = uv @ scene.Ks[0][:2, :2].T + scene.Ks[0][:2, 2]
-        ok = (
-            (cam[:, 2] > 0)
-            & (pix[:, 0] >= 0)
-            & (pix[:, 0] < scene.width)
-            & (pix[:, 1] >= 0)
-            & (pix[:, 1] < scene.height)
-        )
-        sel = np.where(ok)[0][:40]
-        images[i + 1] = cio.ColmapImage(
-            i + 1, q, w2c[:3, 3], 1, name, pix[sel], ids[sel]
-        )
-    rec = cio.ColmapReconstruction(
-        cameras=cameras,
-        images=images,
-        points_xyz=pts,
-        points_rgb=(scene.rgbs[:n_points] * 255).astype(np.uint8),
-        points_err=np.full(len(pts), 0.5),
-        point_ids=ids,
-    )
-    cio.write_reconstruction_bin(os.path.join(data_dir, "sparse/0"), rec)
-    return data_dir
+    return write_colmap_scene(str(tmp_path), scene, n_points=n_points)
 
 
 @pytest.fixture(scope="module")

@@ -121,6 +121,36 @@ def method(tmp_path_factory):
     )
 
 
+def test_export_demo_app_opt(tmp_path_factory, tmp_path):
+    """app_opt export bakes the appearance MLP into SH0 (reference
+    method.py:867-954); regression for the round-2 AttributeError on
+    AppearanceParams.features."""
+    scene = make_scene(n_gaussians=40, n_cams=6, width=48, height=32)
+    scene_dir = _write_colmap_scene(tmp_path_factory.mktemp("da"), scene)
+    m = GsInitTpuMethod(
+        data_dir=scene_dir,
+        config_overrides={
+            "data_factor": 1,
+            "result_dir": str(tmp_path_factory.mktemp("ra")),
+            "max_steps": 2,
+            "sh_degree": 1,
+            "max_gaussians": 64,
+            "pair_capacity": 8192,
+            "rasterizer_impl": "xla",
+            "app_opt": "true",
+        },
+    )
+    from gs_init_tpu.utils.ply import read_ply_splats
+
+    path = m.export_demo(str(tmp_path / "demo_app.ply"))
+    means, scales, quats, opac, sh0, shN = read_ply_splats(path)
+    n_alive = int(np.asarray(m.runner.gstate.alive).sum())
+    assert means.shape == (n_alive, 3)
+    assert np.isfinite(sh0).all()
+    # Baked export zeroes the view-dependent bands.
+    assert np.abs(shN).max() == 0.0
+
+
 def test_export_demo_roundtrip(method, tmp_path):
     from gs_init_tpu.utils.ply import read_ply_splats
 
