@@ -81,7 +81,17 @@ def pick_model(cfg) -> DepthPredictor:
         return AppleDepthProPredictor(
             allow_random_weights=cfg.mdi.allow_random_weights,
         )
+    if name == "moge":
+        from .moge import MoGePredictor
+
+        backbone = cfg.mdi.backbone
+        if backbone not in ("vits", "vitb", "vitl", "vitg"):
+            backbone = "vitl"  # reference default moge-2-vitl-normal
+        return MoGePredictor(
+            backbone=backbone,
+            allow_random_weights=cfg.mdi.allow_random_weights,
+        )
     raise NotImplementedError(
         f"predictor {name!r} not yet available in the TPU build "
-        "(moge/unidepth ports are tracked work)"
+        "(the unidepth port is tracked work)"
     )

@@ -49,7 +49,7 @@ def _find_weights() -> Optional[str]:
             continue
         for name in sorted(os.listdir(d)):
             if name.startswith(("lpips_alex", "alexnet")) and name.endswith(
-                (".pth", ".pt")
+                (".npz", ".pth", ".pt")
             ):
                 return os.path.join(d, name)
     return None
@@ -66,6 +66,22 @@ def _load_params():
         raise FileNotFoundError(
             "no AlexNet/LPIPS weights found (set GS_TPU_CHECKPOINT_DIR)"
         )
+    if path.endswith(".npz"):
+        # Converted format (scripts/convert_lpips.py): conv{i}_w [k,k,in,out]
+        # HWIO, conv{i}_b [out], optional lin{i} [ch] calibration.
+        data = np.load(path)
+        convs = [
+            (jnp.asarray(data[f"conv{i}_w"]), jnp.asarray(data[f"conv{i}_b"]))
+            for i in range(5)
+        ]
+        if all(f"lin{i}" in data.files for i in range(5)):
+            lins = [jnp.asarray(data[f"lin{i}"]) for i in range(5)]
+        else:
+            lins = None
+            _LOGGER.warning(
+                "LPIPS npz has no linear calibration; using unit weights"
+            )
+        return convs, lins
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)

@@ -47,6 +47,27 @@ def _blur_valid(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _blur_valid_cfirst(x: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
+    """Separable valid-padding gaussian filter over [N, H, W], channels-first.
+
+    Each 1-D conv is a sum of k shifted slices — pure f32 VPU FMAs that XLA
+    fuses into one pass. This sidesteps BOTH problems of the NHWC conv
+    formulation on TPU: the lane dim is W (1296) instead of C (15, padded to
+    128 = 8.5x wasted bandwidth), and there is no bf16 conv rounding, so no
+    raised-precision multi-pass is needed (the SSIM variance cancellation
+    lesson — see _blur_valid)."""
+    k = window.shape[0]
+    h_out = x.shape[1] - k + 1
+    acc = window[0] * x[:, :h_out, :]
+    for i in range(1, k):
+        acc = acc + window[i] * x[:, i : i + h_out, :]
+    w_out = x.shape[2] - k + 1
+    out = window[0] * acc[:, :, :w_out]
+    for i in range(1, k):
+        out = out + window[i] * acc[:, :, i : i + w_out]
+    return out
+
+
 def ssim(
     img0: jnp.ndarray,  # [B, H, W, C] predictions in [0, 1]
     img1: jnp.ndarray,  # [B, H, W, C] targets
@@ -58,20 +79,23 @@ def ssim(
     """Mean SSIM over a batch (scalar), valid padding.
 
     All five moments (x, y, x^2, y^2, xy) are stacked channel-wise and
-    blurred with ONE pair of grouped separable convs — a third of the conv
-    dispatches of the naive formulation (fwd and autodiff bwd)."""
-    w = jnp.asarray(_gaussian_window(window_size, sigma))
+    blurred in one fused channels-first shifted-slice pass (fwd and autodiff
+    bwd)."""
+    w = _gaussian_window(window_size, sigma)
+    b, h, wd, c = img0.shape
+    i0 = jnp.transpose(img0, (0, 3, 1, 2))  # [B, C, H, W]
+    i1 = jnp.transpose(img1, (0, 3, 1, 2))
     stacked = jnp.concatenate(
-        [img0, img1, img0 * img0, img1 * img1, img0 * img1], axis=-1
-    )
-    blurred = _blur_valid(stacked, w)
-    c = img0.shape[-1]
+        [i0, i1, i0 * i0, i1 * i1, i0 * i1], axis=1
+    ).reshape(b * 5 * c, h, wd)
+    blurred = _blur_valid_cfirst(stacked, w)
+    blurred = blurred.reshape(b, 5, c, *blurred.shape[1:])
     mu0, mu1, e00, e11, e01 = (
-        blurred[..., :c],
-        blurred[..., c : 2 * c],
-        blurred[..., 2 * c : 3 * c],
-        blurred[..., 3 * c : 4 * c],
-        blurred[..., 4 * c :],
+        blurred[:, 0],
+        blurred[:, 1],
+        blurred[:, 2],
+        blurred[:, 3],
+        blurred[:, 4],
     )
     mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1
     s00 = e00 - mu00
