@@ -59,8 +59,13 @@ from .tiles import (
 ALPHA_MAX = 0.999
 ALPHA_MIN = 1.0 / 255.0
 TERM_EPS = 1e-4
-OUT_ROWS = 8  # r, g, b, acc, depth, T_final, n_chunks_processed, unused
+OUT_ROWS = 8  # r, g, b, acc, depth, T_final, n_chunks_processed, log T_final
 ROW_R, ROW_G, ROW_B, ROW_ACC, ROW_DEPTH, ROW_T, ROW_NPROC = 0, 1, 2, 3, 4, 5, 6
+# log T accumulated exactly in log space by the forward: the backward
+# reconstructs per-gaussian transmittance as exp(logT - suffix), which
+# cannot overflow (T_after * exp(+suffix) does at ~128 near-opaque
+# gaussians: exp(88) overflows f32 while T_after underflows).
+ROW_LOGT = 7
 
 
 def _interpret() -> bool:
@@ -136,7 +141,7 @@ def _fwd_kernel(
         dma(0, 0).start()
 
     def body(carry):
-        i, tcur, _ = carry
+        i, tcur, lt, _ = carry
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < nchunks)
@@ -160,17 +165,20 @@ def _fwd_kernel(
         )  # [4, P]
         out_ref[0, ROW_R : ROW_B + 1, :] += contrib[0:3]
         out_ref[0, ROW_DEPTH, :] += contrib[3]
-        tnew = tcur * jnp.exp(jnp.sum(logs, axis=0, keepdims=True))
+        s = jnp.sum(logs, axis=0, keepdims=True)
+        tnew = tcur * jnp.exp(s)
         alive = jnp.max(tnew) > TERM_EPS
-        return i + 1, tnew, alive
+        return i + 1, tnew, lt + s, alive
 
     def cond(carry):
-        i, _, alive = carry
+        i, _, _, alive = carry
         return (i < nchunks) & alive
 
     tinit = jnp.ones((1, pixels), jnp.float32)
-    i_end, tfin, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tinit, jnp.bool_(True))
+    i_end, tfin, ltfin, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), tinit, jnp.zeros((1, pixels), jnp.float32),
+         jnp.bool_(True)),
     )
 
     # Early termination leaves the prefetched next chunk's DMA in flight;
@@ -181,6 +189,7 @@ def _fwd_kernel(
 
     out_ref[0, ROW_ACC, :] = 1.0 - tfin[0]
     out_ref[0, ROW_T, :] = tfin[0]
+    out_ref[0, ROW_LOGT, :] = ltfin[0]
     out_ref[0, ROW_NPROC, :] = jnp.full((pixels,), 1.0, jnp.float32) * i_end.astype(
         jnp.float32
     )
@@ -208,8 +217,15 @@ def _bwd_kernel(
     # dL/dalpha_k contribution of the T_N path is (g_acc - g_T) T_N/(1-a_k).
     g_tn = gout_ref[0, ROW_ACC : ROW_ACC + 1, :] - gout_ref[0, ROW_T : ROW_T + 1, :]
     tfin = fwdout_ref[0, ROW_T : ROW_T + 1, :]  # [1, P]
+    # log T_final accumulated by the forward: transmittance reconstruction
+    # runs in log space (exp(lt - suf) <= 1 by construction), immune to the
+    # T_after-underflow x exp-overflow blowup of the multiplicative form.
+    lt_fin = fwdout_ref[0, ROW_LOGT : ROW_LOGT + 1, :]
     gt = g_tn * tfin  # loop-invariant piece of the dL/dalpha T_N path
-    i_end_f = fwdout_ref[0, ROW_NPROC : ROW_NPROC + 1, :]  # [1, P] broadcast
+    # Chunks the forward never composited (early termination at T < eps)
+    # have EXACTLY zero gradient w.r.t. the forward as computed — skip their
+    # compute entirely and only zero-fill their record slots below.
+    nproc = fwdout_ref[0, ROW_NPROC, 0].astype(jnp.int32)
 
     utri_incl = 1.0 - _tri(chunk, strict_lower=True)  # j >= i
     utri_strict = _tri(chunk, strict_lower=False)  # j > i
@@ -226,14 +242,28 @@ def _bwd_kernel(
             gbuf.at[slot], dpairs_ref.at[:, pl.ds(ooff, chunk)], osem.at[slot]
         )
 
-    # Back-to-front traversal; reads double-buffered, writes overlapped.
-    @pl.when(nchunks > 0)
+    # Zero-fill record slots of forward-skipped chunks (the downstream sort
+    # reads every written slot's VALID/GID columns, so they cannot stay
+    # uninitialized). Serialized writes: pure 8 KB DMAs, no compute.
+    def zbody(j, _):
+        slot = jax.lax.rem(j, 2)
+        gbuf[slot] = jnp.zeros_like(gbuf[slot])
+        w = wdma(j, slot)
+        w.start()
+        w.wait()
+        return 0
+
+    jax.lax.fori_loop(nproc, nchunks, zbody, 0)
+
+    # Back-to-front traversal over the PROCESSED chunks only; reads
+    # double-buffered, writes overlapped.
+    @pl.when(nproc > 0)
     def _():
-        rdma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).start()
+        rdma(nproc - 1, jax.lax.rem(nproc - 1, 2)).start()
 
     def body(rev, carry):
-        t_after, r_after = carry
-        i = nchunks - 1 - rev
+        lt_after, r_after = carry
+        i = nproc - 1 - rev
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i - 1 >= 0)
@@ -243,17 +273,17 @@ def _bwd_kernel(
         rdma(i, slot).wait()
         d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS]
         base = c0 + i * chunk
-        processed = (i.astype(jnp.float32) < i_end_f)  # [1, P], uniform
 
         alpha, aux = _alpha_terms(d, px, py, start - base, end - base, chunk)
         logs = jnp.log1p(-alpha)
         inv1m = 1.0 / (1.0 - alpha)
-        # Transmittance before each gaussian: T_k = t_after * exp(-suffix_incl)
+        # Transmittance before each gaussian: T_k = exp(lt_after - suffix);
+        # clamped at 0 since float error could push the exponent positive.
         suf = jax.lax.dot_general(
             utri_incl, logs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        tk = t_after * jnp.exp(-suf)
+        tk = jnp.exp(jnp.minimum(lt_after - suf, 0.0))
         w = alpha * tk
         rgbd = d[:, PACK_R : PACK_DEPTH + 1]  # [chunk, 4]
         q = jax.lax.dot_general(
@@ -269,7 +299,6 @@ def _bwd_kernel(
             + r_after
         )
         dalpha = q * tk - (r_in - gt) * inv1m
-        dalpha = jnp.where(processed, dalpha, 0.0)
 
         # Chain through alpha -> (opacity, conic, mean2d); clamped/skipped
         # entries get zero gradient (matches the oracle's autodiff).
@@ -277,7 +306,6 @@ def _bwd_kernel(
             w, g_rgbd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [chunk, 4] = (dr, dg, db, ddepth)
-        dcols = jnp.where(processed[:, :1], dcols, 0.0)
         live = aux["unclamped"]
         e = jnp.where(live, aux["e"], 0.0)
         dopa = jnp.sum(dalpha * e, axis=1, keepdims=True)
@@ -318,25 +346,23 @@ def _bwd_kernel(
         gbuf[slot] = jnp.transpose(grec)
         wdma(i, slot).start()
 
-        t_next = jnp.where(
-            processed, t_after * jnp.exp(-jnp.sum(logs, axis=0, keepdims=True)), t_after
-        )
-        r_next = jnp.where(processed, r_after + jnp.sum(u, axis=0, keepdims=True), r_after)
-        return t_next, r_next
+        lt_next = lt_after - jnp.sum(logs, axis=0, keepdims=True)
+        r_next = r_after + jnp.sum(u, axis=0, keepdims=True)
+        return lt_next, r_next
 
     jax.lax.fori_loop(
         0,
-        nchunks,
+        nproc,
         body,
-        (tfin, jnp.zeros((1, pixels), jnp.float32)),
+        (lt_fin, jnp.zeros((1, pixels), jnp.float32)),
     )
 
     # Drain outstanding writes (the last two chunks processed are i=1, i=0).
-    @pl.when(nchunks >= 2)
+    @pl.when(nproc >= 2)
     def _():
         wdma(1, 1).wait()
 
-    @pl.when(nchunks >= 1)
+    @pl.when(nproc >= 1)
     def _():
         wdma(0, 0).wait()
 

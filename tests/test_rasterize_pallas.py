@@ -158,6 +158,54 @@ def test_pallas_backward_matches_oracle(rng):
         np.testing.assert_allclose(gp / scale, gr / scale, atol=2e-3, err_msg=name)
 
 
+def test_pallas_backward_early_termination(rng):
+    """Deep stacks of near-opaque gaussians saturate transmittance early;
+    the backward must skip the forward-unprocessed chunks (their record
+    slots zero-filled) and still match the oracle on the visible front.
+    Uses chunk_size-many+ gaussians per tile so nproc < nchunks in the
+    Pallas path."""
+    n = 96
+    means = np.zeros((n, 3), np.float32)
+    means[:, 0] = rng.uniform(-0.1, 0.1, n)
+    means[:, 1] = rng.uniform(-0.1, 0.1, n)
+    means[:, 2] = np.linspace(2.0, 6.0, n)  # stacked in depth
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    scales = np.full((n, 3), 0.3, np.float32)
+    opac = np.full((n,), 0.95, np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    viewmats = jnp.eye(4, dtype=jnp.float32)[None]
+    Ks = jnp.asarray(
+        [[[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]]], jnp.float32
+    )
+    target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)), jnp.float32)
+
+    def loss(impl, params):
+        m, o, c = params
+        render, alpha, _ = rasterize(
+            jnp.asarray(m), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(o), jnp.asarray(c), viewmats, Ks, W, H,
+            impl=impl, pair_capacity=8192, chunk_size=128, tile_size=16,
+        )
+        return jnp.mean((render - target) ** 2)
+
+    params = (means, opac, colors)
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss("xla", p))(params)
+    l_pal, g_pal = jax.value_and_grad(lambda p: loss("pallas", p))(params)
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-3)
+    for name, gr, gp in zip(["means", "opac", "colors"], g_ref, g_pal):
+        gp = np.asarray(gp)
+        assert np.isfinite(gp).all(), name
+        scale = np.abs(np.asarray(gr)).max() + 1e-8
+        # The oracle composites past the termination point (weights < 1e-4);
+        # tolerance covers that intentional difference.
+        np.testing.assert_allclose(
+            gp / scale, np.asarray(gr) / scale, atol=5e-3, err_msg=name
+        )
+    # Far-behind gaussians must get (near-)zero gradients in both.
+    gc_pal = np.asarray(g_pal[2])
+    assert np.abs(gc_pal[-8:]).max() < 1e-5
+
+
 def test_means2d_dummy_gradients(rng):
     """Screen-space gradient taps (densification signal) flow and match."""
     means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=24)
