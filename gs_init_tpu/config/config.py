@@ -96,6 +96,15 @@ class SegmentationConfig:
     merge_gradient_threshold: float = 5e-4
     merge_min_sfm_points: int = 5
     region_margin: float = 0.0
+    # SAM segmenter (reference SAMSegmentationconfig defaults,
+    # depth_alignment/config.py:55-76); weights-gated on a local checkpoint.
+    sam_variant: Literal["vit_b", "vit_l", "vit_h"] = "vit_h"
+    sam_img_size: int = 1024  # SAM's trained input resolution
+    sam_allow_random_weights: bool = False  # synced from mdi.allow_random_weights
+    sam_use_normals: bool = True
+    sam_degenerate_mask_thresh: float = 0.9
+    sam_expansion_radius: int = 4
+    sam_tiny_region_area_fraction: float = 1e-4
 
 
 @dataclass(eq=False)
@@ -281,6 +290,12 @@ class Config:
     # shards); "off": single-device step regardless of device count;
     # "DxG" (e.g. "2x4"): explicit data x gauss mesh shape.
     mesh: str = "auto"
+    # Shard horizontal pixel BANDS over the data axis instead of cameras
+    # (batch replicated). The multi-chip configuration for batch_size=1 at
+    # millions of gaussians: camera data-parallelism cannot split the
+    # dominant binning+compositing cost there; band parallelism divides it
+    # by the data axis (see parallel/shard.make_band_sharded_train_step).
+    shard_pixels: bool = False
 
     # Learning rates (reference runner.py:128-137)
     means_lr: float = 1.6e-4

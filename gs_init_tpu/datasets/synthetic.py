@@ -103,6 +103,106 @@ def make_scene(
     )
 
 
+def make_clustered_scene(
+    seed: int = 0,
+    n_fg: int = 900,
+    n_bg: int = 2600,
+    n_cams: int = 28,
+    width: int = 480,
+    height: int = 360,
+    radius: float = 3.0,
+) -> SyntheticScene:
+    """Scene built for the question the mdi method exists to answer
+    (VERDICT round-2 item #6): SfM coverage is spatially CLUSTERED.
+
+    - Foreground: a compact textured cluster near the origin. Only these
+      points are materialized as SfM points (pass n_points <= n_fg to
+      write_colmap_scene; the array is ordered foreground-first), mimicking
+      feature-rich central geometry.
+    - Background: a surrounding shell + ground of larger gaussians that the
+      cameras always see behind the cluster — photometrically important but
+      with ZERO SfM coverage (feature-poor walls/vegetation in real scenes,
+      the large under-reconstructed regions of results.md's garden).
+
+    SfM init must grow the background from nothing via densification; depth
+    init covers it directly — the reference's headline effect
+    (results.md:10-13)."""
+    rng = np.random.default_rng(seed)
+    # Foreground cluster: dense ball, high-frequency colors.
+    fg = rng.normal(0, 0.35, (n_fg, 3))
+    fg_rgb = rng.uniform(0.05, 0.95, (n_fg, 3))
+    fg_scales = rng.uniform(0.02, 0.07, (n_fg, 3))
+    # Background: cylindrical shell (walls) + disk (ground), textured by
+    # per-gaussian color variation.
+    n_wall = int(n_bg * 0.7)
+    ang = rng.uniform(0, 2 * np.pi, n_wall)
+    r_wall = rng.uniform(5.5, 7.0, n_wall)
+    wall = np.stack(
+        [r_wall * np.cos(ang), rng.uniform(-2.2, 2.2, n_wall), r_wall * np.sin(ang)],
+        axis=-1,
+    )
+    n_gnd = n_bg - n_wall
+    gr = np.sqrt(rng.uniform(0.15, 1.0, n_gnd)) * 6.5
+    ga = rng.uniform(0, 2 * np.pi, n_gnd)
+    ground = np.stack(
+        [gr * np.cos(ga), np.full(n_gnd, 2.3) + rng.normal(0, 0.05, n_gnd),
+         gr * np.sin(ga)],
+        axis=-1,
+    )
+    bg = np.concatenate([wall, ground])
+    bg_rgb = rng.uniform(0.1, 0.9, (n_bg, 3))
+    bg_scales = rng.uniform(0.12, 0.35, (n_bg, 3))
+
+    pts = np.concatenate([fg, bg])
+    rgbs = np.concatenate([fg_rgb, bg_rgb])
+    scales = np.concatenate([fg_scales, bg_scales])
+    n = n_fg + n_bg
+    quats = rng.normal(size=(n, 4))
+    opac = rng.uniform(0.55, 0.95, n)
+
+    c2ws = []
+    for i in range(n_cams):
+        a = 2 * np.pi * i / n_cams
+        eye = np.array(
+            [radius * np.cos(a), -0.4 + 0.5 * np.sin(2 * a), radius * np.sin(a)]
+        )
+        c2ws.append(look_at(eye, np.zeros(3)))
+    c2ws = np.stack(c2ws)
+    f = 0.85 * width
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float64)
+    Ks = np.tile(K, (n_cams, 1, 1))
+
+    viewmats = jnp.asarray(np.linalg.inv(c2ws), jnp.float32)
+    proj = project_gaussians(
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(quats, jnp.float32),
+        jnp.asarray(scales, jnp.float32),
+        jnp.asarray(opac, jnp.float32),
+        viewmats,
+        jnp.asarray(Ks, jnp.float32),
+        width,
+        height,
+    )
+    colors = jnp.broadcast_to(jnp.asarray(rgbs, jnp.float32)[None], (n_cams, n, 3))
+    images, alpha, depth_acc = rasterize_reference(proj, colors, width, height)
+    images = np.clip(np.asarray(images), 0.0, 1.0)
+    alphas = np.asarray(alpha)
+    depths = np.asarray(depth_acc) / np.maximum(alphas, 1e-8)
+
+    return SyntheticScene(
+        points=pts.astype(np.float32),
+        rgbs=rgbs.astype(np.float32),
+        images=images,
+        camtoworlds=c2ws.astype(np.float32),
+        Ks=Ks.astype(np.float32),
+        width=width,
+        height=height,
+        scene_scale=float(radius),
+        depths=depths.astype(np.float32),
+        alphas=alphas.astype(np.float32),
+    )
+
+
 def write_colmap_scene(out_dir: str, scene: SyntheticScene, n_points: int = 64) -> str:
     """Materialize a synthetic scene as an on-disk COLMAP dataset
     (images/ + sparse/0 binary model) so the full data layer — parser,

@@ -74,15 +74,27 @@ def init_from_points(
     """SfM / monocular-depth point-cloud initialization.
 
     Scale init = log(mean kNN distance * init_scale) as in reference
-    runner.py:87-91; N may exceed capacity (truncated with a warning left to
-    the caller via the returned alive count). When scale_clamp_quantile > 0,
-    kNN distances are clamped to that quantile before the log (reference
+    runner.py:87-91; when N exceeds capacity a UNIFORM random subset is
+    kept — the point cloud is image-ordered (mdi/init.py accumulates per
+    image), so head-truncation would keep only the first few images' points
+    and discard whole views. When scale_clamp_quantile > 0, kNN distances
+    are clamped to that quantile before the log (reference
     limit_init_scale, monocular_depth_init.py:215-224) so a few isolated
     points can't spawn huge gaussians.
     """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     n = min(points.shape[0], capacity)
-    points = points[:n]
-    rgbs = rgbs[:n]
+    if points.shape[0] > capacity:
+        sel_key, rng = jax.random.split(rng)
+        sel = jax.random.choice(
+            sel_key, points.shape[0], (capacity,), replace=False
+        )
+        points = points[sel]
+        rgbs = rgbs[sel]
+    else:
+        points = points[:n]
+        rgbs = rgbs[:n]
     if fixed_scale is not None:
         # Benchmark/bring-up path: skip the O(N^2) kNN (init-time only;
         # multi-million-gaussian states normally arise from densification,
@@ -96,8 +108,6 @@ def init_from_points(
     scales = jnp.log(dist * init_scale)[:, None].repeat(3, axis=1)
 
     k = num_sh_bases(sh_degree)
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
     quats = jax.random.normal(rng, (capacity, 4), jnp.float32)
     quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
 

@@ -47,6 +47,10 @@ def resolve_mesh(cfg) -> "tuple[int, int] | None":
         n_dev = len(jax.devices())
         if n_dev <= 1:
             return None
+        if cfg.shard_pixels:
+            # Bands scale the dominant binning+compositing cost; gaussians
+            # stay replicated unless explicitly sharded via "DxG".
+            return n_dev, 1
         import math
 
         n_data = math.gcd(cfg.batch_size, n_dev)
@@ -101,10 +105,10 @@ class Runner:
             from ..parallel.shard import make_mesh, shardings
 
             n_data, n_gauss = mesh_shape
-            if cfg.batch_size % n_data:
+            if not cfg.shard_pixels and cfg.batch_size % n_data:
                 raise ValueError(
                     f"batch_size {cfg.batch_size} not divisible by the "
-                    f"data mesh axis {n_data}"
+                    f"data mesh axis {n_data} (or set shard_pixels)"
                 )
             if cfg.max_gaussians % n_gauss:
                 new_cap = -(-cfg.max_gaussians // n_gauss) * n_gauss
@@ -170,7 +174,7 @@ class Runner:
             if len(pts) > cfg.max_gaussians:
                 print(
                     f"[runner] init points {len(pts)} exceed capacity "
-                    f"{cfg.max_gaussians}; truncating"
+                    f"{cfg.max_gaussians}; keeping a uniform random subset"
                 )
             self.gstate = init_from_points(
                 jnp.asarray(pts),
@@ -240,11 +244,18 @@ class Runner:
     def _build_step_fn(self):
         cfg = self.cfg
         if self.mesh is not None:
-            from ..parallel.shard import make_sharded_train_step
+            if cfg.shard_pixels:
+                from ..parallel.shard import make_band_sharded_train_step
 
-            self.step_fn = make_sharded_train_step(
-                cfg, self.acfg, self.width, self.height, self.mesh
-            )
+                self.step_fn = make_band_sharded_train_step(
+                    cfg, self.acfg, self.width, self.height, self.mesh
+                )
+            else:
+                from ..parallel.shard import make_sharded_train_step
+
+                self.step_fn = make_sharded_train_step(
+                    cfg, self.acfg, self.width, self.height, self.mesh
+                )
         else:
             self.step_fn = make_train_step(
                 cfg, self.acfg, self.width, self.height
@@ -318,10 +329,10 @@ class Runner:
                 depth_points=jnp.asarray(dp), depth_values=jnp.asarray(dv)
             )
         if self.mesh is not None:
-            _, data_s, _ = self._shardings
-            batch = jax.tree.map(
-                lambda x: jax.device_put(x, data_s), batch
-            )
+            _, data_s, repl_s = self._shardings
+            # Band mode shards pixels, not cameras: batch is replicated.
+            bs = repl_s if self.cfg.shard_pixels else data_s
+            batch = jax.tree.map(lambda x: jax.device_put(x, bs), batch)
         return batch
 
     def setup_train(self):

@@ -79,15 +79,22 @@ def align_depth(
             acfg,
         )
         return aligned, np.asarray(pred_mask).copy()
-    if seg.method != "slic":
-        raise NotImplementedError(
-            f"segmenter {seg.method!r} unavailable (SAM needs local weights)"
+    if seg.method == "slic":
+        labels = slic_depth(
+            pred_depth, np.asarray(pred_mask),
+            n_segments=seg.slic_n_segments, compactness=seg.slic_compactness,
         )
+    elif seg.method == "sam":
+        # SAM automatic-mask segmentation on the colormapped depth
+        # (reference sam.py:69-154); weights-gated on a local checkpoint.
+        from ..segmentation_sam import segment_depth_sam
 
-    labels = slic_depth(
-        pred_depth, np.asarray(pred_mask),
-        n_segments=seg.slic_n_segments, compactness=seg.slic_compactness,
-    )
+        labels = segment_depth_sam(
+            pred_depth, np.asarray(pred_mask), None, seg,
+            allow_random_weights=seg.sam_allow_random_weights,
+        )
+    else:
+        raise NotImplementedError(f"unknown segmenter {seg.method!r}")
     labels = merge_regions(
         labels, pred_depth, sfm_pix[valid],
         gradient_threshold=seg.merge_gradient_threshold,

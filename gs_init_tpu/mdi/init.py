@@ -100,6 +100,8 @@ def pts_and_rgb_from_monocular_depth(
     rng = rng or np.random.default_rng(cfg.seed)
     trainset = Dataset(parser, "train")
     mdi = cfg.mdi
+    if mdi.allow_random_weights:
+        mdi.alignment.segmentation.sam_allow_random_weights = True
 
     # Static SfM padding size across images.
     m_pad = max(

@@ -91,7 +91,14 @@ def pick_model(cfg) -> DepthPredictor:
             backbone=backbone,
             allow_random_weights=cfg.mdi.allow_random_weights,
         )
-    raise NotImplementedError(
-        f"predictor {name!r} not yet available in the TPU build "
-        "(the unidepth port is tracked work)"
-    )
+    if name == "unidepth":
+        from .unidepth import UniDepthPredictor
+
+        backbone = cfg.mdi.backbone
+        if backbone not in ("vits", "vitb", "vitl", "vitg"):
+            backbone = "vitl"
+        return UniDepthPredictor(
+            backbone=backbone,
+            allow_random_weights=cfg.mdi.allow_random_weights,
+        )
+    raise NotImplementedError(f"unknown predictor {name!r}")

@@ -389,3 +389,331 @@ def make_sharded_train_step(
         return gstate._replace(params=params), adam, sstate, aux, aux_opt, metrics
 
     return train_step
+
+
+def make_band_sharded_train_step(
+    cfg, acfg: AdamConfig, width: int, height: int, mesh: Mesh
+):
+    """Pixel-band parallel train step: the "data" axis shards horizontal
+    TILE-ROW BANDS of every image (batch replicated on all devices), the
+    "gauss" axis shards projection/SH/Adam as in make_sharded_train_step.
+
+    This is the multi-chip configuration for the reference's real operating
+    point (one camera per step, millions of gaussians,
+    nerfbaselines_evaluator.py:514-524): camera data-parallelism cannot
+    shard the dominant binning+compositing cost at batch_size=1, band
+    parallelism divides it by the data axis. Each device culls the gathered
+    gaussians to its band, bins and composites a band-local image, and the
+    bands are all-gathered (an image-sized transfer, ~4 MB at garden scale
+    — orders of magnitude below the gaussian all_gather) for a REPLICATED
+    full-image loss, so SSIM windows never straddle band boundaries.
+    Enabled via cfg.shard_pixels (Config) through the Runner.
+    """
+    n_data = mesh.shape["data"]
+    n_gauss = mesh.shape["gauss"]
+    use_pallas = cfg.rasterizer_impl == "pallas" or (
+        cfg.rasterizer_impl == "auto" and jax.default_backend() != "cpu"
+    )
+    track_stats = type(cfg.strategy).__name__ != "MCMCStrategyConfig"
+    use_absgrad = bool(getattr(cfg.strategy, "absgrad", False)) and track_stats
+    want_depth = bool(cfg.depth_loss)
+    tile = cfg.tile_size
+    nty = -(-height // tile)
+    band_ty = -(-nty // n_data)
+    band_h = band_ty * tile  # per-device band height (padded rows masked)
+
+    def local_loss(params, dummy, pair_dummy, aux: AuxParams, alive,
+                   batch: Batch, step, key):
+        n_local = params.means.shape[0]
+        c = batch.pixels.shape[0]
+        gi = jax.lax.axis_index("gauss")
+        di = jax.lax.axis_index("data")
+        scales, opacities = params.activated()
+
+        c2w = batch.camtoworlds
+        if cfg.pose_opt and aux.pose is not None:
+            c2w = apply_pose_deltas(c2w, aux.pose, batch.image_ids)
+        viewmats = jnp.linalg.inv(c2w)
+
+        bkgd = None
+        if cfg.random_bkgd:
+            bkgd = jax.random.uniform(key, (c, 3))  # replicated draw
+
+        proj = project_gaussians(
+            params.means, params.quats, scales, opacities,
+            viewmats, batch.Ks, width, height,
+            near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+            antialiased=cfg.antialiased, camera_model=cfg.camera_model,
+            alive=alive,
+        )
+        centers = c2w[:, :3, 3]
+        dirs = params.means[None, :, :] - centers[:, None, :]
+        if cfg.app_opt and aux.app is not None:
+            feats_shard = jax.lax.dynamic_slice_in_dim(
+                aux.app.features, gi * n_local, n_local, axis=0
+            )
+            active_deg = jnp.minimum(
+                step // cfg.sh_degree_interval, cfg.sh_degree
+            )
+            resid = appearance_colors(
+                aux.app._replace(features=feats_shard),
+                batch.image_ids, dirs, active_deg, cfg.sh_degree,
+            )
+            colors = jax.nn.sigmoid(resid + params.sh0[None, :, 0, :])
+        else:
+            sh = params.sh_coeffs()
+            mask = sh_coeff_mask(step, cfg.sh_degree, cfg.sh_degree_interval)
+            sh = sh.at[:, 1:, :].multiply(mask[None, :, None])
+            colors = sh_to_color(
+                jnp.broadcast_to(sh[None], (c,) + sh.shape), dirs,
+                cfg.sh_degree,
+            )
+        means2d = proj.means2d + dummy
+
+        gather = lambda x: jax.lax.all_gather(x, "gauss", axis=1, tiled=True)
+        means2d = gather(means2d)
+        conics = gather(proj.conics)
+        depths = gather(proj.depths)
+        radii = gather(proj.radii)
+        opac2d = gather(proj.opacities)
+        colors = gather(colors)
+
+        # Band-local frame: shift screen y, cull gaussians whose footprint
+        # misses this device's tile-row band (clipped tile spans would
+        # otherwise re-admit every off-band gaussian).
+        y0 = (di * band_h).astype(jnp.float32)
+        rf = radii.astype(jnp.float32)
+        my = means2d[..., 1]
+        in_band = (my + rf >= y0) & (my - rf < y0 + band_h)
+        radii_b = jnp.where(in_band, radii, 0)
+        means2d_b = means2d - jnp.stack(
+            [jnp.zeros_like(y0), y0]
+        ).reshape(1, 1, 2)
+
+        overflow = jnp.int32(0)
+        pairs = jnp.int32(0)
+        if use_pallas:
+            binning = bin_gaussians(
+                means2d_b, radii_b, depths, width, band_h,
+                cfg.tile_size, cfg.pair_capacity, chunk=cfg.chunk_size,
+            )
+            overflow = binning.overflow
+            pairs = binning.tile_starts[-1]
+            table = pack_table(means2d_b, conics, opac2d, colors, depths)
+            num_tiles = c * binning.num_tiles_x * binning.num_tiles_y
+            pd = (
+                pair_dummy
+                if pair_dummy is not None
+                else jnp.zeros((table.shape[0], 2), jnp.float32)
+            )
+            out = render_tiles(
+                table, pd,
+                binning.gid_sorted, binning.tile_starts, binning.out_starts,
+                binning.gauss_offsets, binning.gauss_counts,
+                num_tiles, binning.num_tiles_x, binning.num_tiles_y,
+                cfg.tile_size, cfg.chunk_size, want_depth, use_absgrad,
+            )
+            color, alpha, depth_acc = unpack_tiles(
+                out, c, binning.num_tiles_x, binning.num_tiles_y,
+                cfg.tile_size, width, band_h,
+            )
+        else:
+            band = Projected(
+                means2d=means2d_b, conics=conics, depths=depths,
+                radii=radii_b, opacities=opac2d,
+            )
+            color, alpha, depth_acc = rasterize_reference(
+                band, colors, width, band_h, tile_size=cfg.tile_size
+            )
+
+        # Assemble the full image from the bands (image-sized all_gather;
+        # its transpose hands each device its band's cotangent slice) and
+        # run the EXACT single-device loss on it, replicated.
+        gb = lambda x: jax.lax.all_gather(x, "data", axis=1, tiled=True)
+        color = gb(color)[:, :height]
+        alpha = gb(alpha)[:, :height]
+        depth_acc = gb(depth_acc)[:, :height]
+
+        if bkgd is not None:
+            color = color + (1.0 - alpha)[..., None] * bkgd[:, None, None, :]
+
+        rendered = color
+        if batch.sampling_mask is not None:
+            m = batch.sampling_mask.astype(rendered.dtype)
+            rendered = rendered * m + jax.lax.stop_gradient(rendered) * (1 - m)
+            alpha = alpha * m[..., 0] + jax.lax.stop_gradient(alpha) * (
+                1 - m[..., 0]
+            )
+        if cfg.use_bilateral_grid and aux.grids is not None:
+            rendered = slice_bilateral_grid(
+                aux.grids, rendered, batch.image_ids
+            )
+
+        l1 = jnp.mean(jnp.abs(rendered - batch.pixels))
+        ssim_val = ssim(rendered, batch.pixels)
+        loss_local = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * (
+            1.0 - ssim_val
+        )
+
+        if want_depth and batch.depth_points is not None:
+            depth = depth_acc / jnp.maximum(alpha, 1e-10)
+            pts = batch.depth_points.astype(jnp.int32)
+            b_idx = jnp.arange(c)[:, None]
+            sampled = depth[b_idx, pts[..., 1], pts[..., 0]]
+            valid = batch.depth_values > 0
+            disp = jnp.where(valid, 1.0 / jnp.maximum(sampled, 1e-6), 0.0)
+            disp_gt = jnp.where(
+                valid, 1.0 / jnp.maximum(batch.depth_values, 1e-6), 0.0
+            )
+            nvalid = jnp.maximum(jnp.sum(valid), 1)
+            loss_local = loss_local + cfg.depth_lambda * (
+                jnp.sum(jnp.abs(disp - disp_gt)) / nvalid
+            )
+
+        if cfg.use_bilateral_grid and aux.grids is not None:
+            loss_local = loss_local + cfg.tv_lambda * total_variation_loss(
+                aux.grids
+            )
+
+        cap_total = n_local * n_gauss
+        if cfg.opacity_reg > 0.0:
+            s = jnp.sum(jnp.where(alive, jnp.abs(opacities), 0.0))
+            loss_local = loss_local + cfg.opacity_reg * (
+                jax.lax.psum(s, "gauss") / cap_total
+            )
+        if cfg.scale_reg > 0.0:
+            s = jnp.sum(jnp.where(alive[:, None], jnp.abs(scales), 0.0))
+            loss_local = loss_local + cfg.scale_reg * (
+                jax.lax.psum(s, "gauss") / (cap_total * 3)
+            )
+
+        return loss_local, dict(
+            l1=l1, ssim=ssim_val, radii=radii,
+            overflow=overflow, pairs=pairs, alpha_mean=jnp.mean(alpha),
+        )
+
+    def device_step(params, alive, aux: AuxParams, batch, step, key):
+        c = batch.pixels.shape[0]
+        n_local = params.means.shape[0]
+        dummy = jnp.zeros((c, n_local, 2), jnp.float32)
+        pair_dummy = (
+            jnp.zeros((c * n_local * n_gauss, 2), jnp.float32)
+            if (use_absgrad and use_pallas)
+            else None
+        )
+        (loss_local, auxd), (grads, dgrads, pgrads, agrads) = (
+            jax.value_and_grad(local_loss, argnums=(0, 1, 2, 3), has_aux=True)(
+                params, dummy, pair_dummy, aux, alive, batch, step, key
+            )
+        )
+        loss = jax.lax.pmean(loss_local, ("data", "gauss"))
+        # Fold factors: every device computes the identical full-image
+        # loss; the band all_gather transpose psum-scatters d identical
+        # cotangents onto each band, the gaussian all_gather transpose
+        # psum-scatters g more — so per-device shard grads are its band's
+        # contribution x (d*g), and psum over data / (d*g) recovers the
+        # exact total (same normalization as the camera-sharded step).
+        norm = 1.0 / (n_data * n_gauss)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, "data") * norm, grads
+        )
+        agrads = jax.tree.map(
+            lambda g: jax.lax.psum(g, ("data", "gauss")) * norm, agrads
+        )
+        gi = jax.lax.axis_index("gauss")
+        # Radii are full-screen projections, identical across data devices.
+        radii_local = jax.lax.dynamic_slice_in_dim(
+            auxd["radii"], gi * n_local, n_local, axis=1
+        )
+        if pgrads is not None:
+            # Pair taps see only this band's pairs, d-fold (no gauss
+            # collective in their path): total per gaussian = psum over
+            # data / d.
+            stats_local = jax.lax.psum(pgrads, "data").reshape(
+                c, n_local * n_gauss, 2
+            )
+            stats_local = jax.lax.dynamic_slice_in_dim(
+                stats_local, gi * n_local, n_local, axis=1
+            ) * (1.0 / n_data)
+        else:
+            # means2d tap rides the gauss gather: d*g-fold per band.
+            stats_local = jax.lax.psum(dgrads, "data") * norm
+        l1 = auxd["l1"]  # replicated
+        ssim_val = auxd["ssim"]
+        scalars = dict(
+            overflow=jax.lax.pmax(auxd["overflow"], "data"),
+            pairs=jax.lax.pmax(auxd["pairs"], "data"),
+            alpha_mean=auxd["alpha_mean"],
+        )
+        return (
+            loss, grads, dgrads, agrads, stats_local, radii_local, l1,
+            ssim_val, scalars,
+        )
+
+    from jax import shard_map
+
+    smapped = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(
+            P("gauss"),  # params
+            P("gauss"),  # alive
+            P(),  # aux
+            P(),  # batch REPLICATED (bands shard pixels, not cameras)
+            P(),  # step
+            P(),  # key
+        ),
+        out_specs=(
+            P(),
+            P("gauss"),
+            P(None, "gauss"),
+            P(),
+            P(None, "gauss"),  # stats (summed over bands, shard columns)
+            P(None, "gauss"),  # radii
+            P(),
+            P(),
+            P(),
+        ),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(
+        gstate: GaussianState, adam, sstate, aux: AuxParams,
+        aux_opt: AuxOptState, batch: Batch, step, key,
+    ):
+        (
+            loss, grads, dgrads, agrads, stats, radii, l1, ssim_val, scalars,
+        ) = smapped(gstate.params, gstate.alive, aux, batch, step, key)
+        params, adam = adam_update(gstate.params, grads, adam, acfg, step)
+
+        decay = acfg.means_decay_gamma ** step.astype(jnp.float32)
+        new_aux, new_opt = {}, {}
+        if aux.pose is not None:
+            p, s = simple_adam_update(
+                aux.pose, agrads.pose, aux_opt.pose,
+                lr=cfg.pose_opt_lr * decay, weight_decay=cfg.pose_opt_reg,
+            )
+            new_aux["pose"], new_opt["pose"] = p, s
+        if aux.app is not None:
+            p, s = simple_adam_update(
+                aux.app, agrads.app, aux_opt.app,
+                lr=cfg.app_opt_lr, weight_decay=cfg.app_opt_reg,
+            )
+            new_aux["app"], new_opt["app"] = p, s
+        if aux.grids is not None:
+            p, s = simple_adam_update(
+                aux.grids, agrads.grids, aux_opt.grids, lr=2e-3
+            )
+            new_aux["grids"], new_opt["grids"] = p, s
+        aux = aux._replace(**new_aux)
+        aux_opt = aux_opt._replace(**new_opt)
+
+        if track_stats:
+            sstate = default_strategy.update_state(
+                sstate, stats, radii, width, height
+            )
+        metrics = dict(loss=loss, l1=l1, ssim=ssim_val, **scalars)
+        return gstate._replace(params=params), adam, sstate, aux, aux_opt, metrics
+
+    return train_step

@@ -25,28 +25,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 import numpy as np
 
 
-def build_scene(out_dir, width=320, height=240, n_cams=24, n_gaussians=600):
-    from gs_init_tpu.datasets.synthetic import make_scene
-    from test_datasets import _write_colmap_scene
-
-    class _P:
-        def __init__(self, p):
-            self._p = p
-
-        def __truediv__(self, other):
-            return _P(os.path.join(self._p, other))
-
-        def __str__(self):
-            return self._p
-
-        def __fspath__(self):
-            return self._p
-
-    scene = make_scene(
-        seed=3, n_gaussians=n_gaussians, n_cams=n_cams,
-        width=width, height=height,
+def build_scene(
+    out_dir, width=320, height=240, n_cams=24, n_gaussians=600,
+    scenario="clustered",
+):
+    from gs_init_tpu.datasets.synthetic import (
+        make_clustered_scene,
+        make_scene,
+        write_colmap_scene,
     )
-    data_dir = _write_colmap_scene(_P(out_dir), scene, n_points=192)
+
+    if scenario == "clustered":
+        # SfM coverage restricted to the foreground cluster; the textured
+        # background shell has zero SfM points (VERDICT round-2 item #6:
+        # build the scene the method exists for).
+        scene = make_clustered_scene(
+            seed=3, n_cams=n_cams, width=width, height=height
+        )
+        n_sfm = 250  # foreground-only (points array is ordered fg-first)
+    else:  # "blanket": the round-2 proxy where SfM already covers everything
+        scene = make_scene(
+            seed=3, n_gaussians=n_gaussians, n_cams=n_cams,
+            width=width, height=height,
+        )
+        n_sfm = 192
+    data_dir = write_colmap_scene(out_dir, scene, n_points=n_sfm)
     return scene, data_dir
 
 
@@ -61,8 +64,11 @@ def _gt_depth_oracle(scene, parser):
     for i in train_ids:
         ed = scene.depths[i]
         a = scene.alphas[i]
-        fill = np.median(ed[a > 0.3]) if (a > 0.3).any() else 1.0
-        depths.append(np.where(a > 0.3, ed, fill).astype(np.float32))
+        # Zero-coverage pixels (empty sky) carry NO depth: NaN makes the
+        # stub mask them out. (The round-2 proxy filled them with the
+        # median depth — every empty pixel then unprojected to a floater
+        # hovering mid-scene, poisoning the mdi init.)
+        depths.append(np.where(a > 0.3, ed, np.nan).astype(np.float32))
 
     counter = {"i": 0}
 
@@ -87,8 +93,7 @@ def run(init_type, data_dir, scene, steps, result_dir):
         max_steps=steps,
         test_every=8,
         sh_degree=2,
-        max_gaussians=8192,
-        pair_capacity=1 << 18,
+        max_gaussians=int(os.environ.get("GS_E2E_CAP", 131072)),
         init_type=init_type,
         batch_size=1,
         eval_steps=[steps],
@@ -98,14 +103,14 @@ def run(init_type, data_dir, scene, steps, result_dir):
     # Mid-run recompiles permanently degrade latency on the axon relay
     # (PERF.md); pin a generous static pair capacity instead.
     cfg.auto_pair_capacity = False
-    cfg.pair_capacity = 1 << 19
+    cfg.pair_capacity = 1 << 21
     cfg.strategy.refine_start_iter = 300
     cfg.strategy.refine_stop_iter = int(steps * 0.6)
     cfg.strategy.reset_every = max(steps // 4, 600)
     cfg.strategy.refine_every = 150
     cfg.mdi.predictor = "stub"
     cfg.mdi.use_cache = False
-    cfg.mdi.subsampling.subsample_factor = 4
+    cfg.mdi.subsampling.subsample_factor = 6
 
     mdi_model = None
     if init_type == "monocular_depth":
@@ -134,18 +139,22 @@ def run(init_type, data_dir, scene, steps, result_dir):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--out", default="results/e2e")
-    ap.add_argument("--width", type=int, default=320)
-    ap.add_argument("--height", type=int, default=240)
-    ap.add_argument("--cams", type=int, default=24)
+    ap.add_argument("--width", type=int, default=480)
+    ap.add_argument("--height", type=int, default=360)
+    ap.add_argument("--cams", type=int, default=28)
     ap.add_argument("--gaussians", type=int, default=600)
+    ap.add_argument(
+        "--scenario", choices=["clustered", "blanket"], default="clustered"
+    )
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     scene, data_dir = build_scene(
         args.out, width=args.width, height=args.height,
         n_cams=args.cams, n_gaussians=args.gaussians,
+        scenario=args.scenario,
     )
 
     results = {}
@@ -155,14 +164,18 @@ def main():
         results[init_type] = run(init_type, data_dir, scene, args.steps, rdir)
         print(json.dumps(results[init_type], indent=2, default=float), flush=True)
 
+    desc = (
+        f"synthetic {args.scenario} {args.width}x{args.height} / "
+        f"{args.cams} cams, full mdi(stub-oracle)->train->eval pipeline"
+    )
+    if args.scenario == "clustered":
+        desc += (
+            "; SfM points restricted to the foreground cluster, textured "
+            "background shell has zero SfM coverage"
+        )
     with open("E2E_QUALITY.json", "w") as f:
         json.dump(
-            {
-                "scenario": "synthetic 320x240 / 24 cams / 192 SfM pts, "
-                "full mdi(stub-oracle)->train->eval pipeline",
-                "steps": args.steps,
-                "results": results,
-            },
+            {"scenario": desc, "steps": args.steps, "results": results},
             f,
             indent=2,
             default=float,
