@@ -80,7 +80,14 @@ def sfm_density_mask(
 
 def depth_gradient_mask(depth: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """Mask of pixels whose normalized forward-difference depth gradient is
-    below threshold (reference points_from_depth.py:192-213)."""
+    below threshold (reference points_from_depth.py:192-213).
+
+    Non-finite depths (masked/invalid pixels — e.g. NaN from a predictor's
+    validity mask, or the alignment INVALID sentinel) are sanitized to 0
+    first: a single NaN otherwise poisons the max-normalization and the
+    comparison masks EVERY pixel. The valid<->invalid boundary then carries
+    a huge gradient and is masked, which is the desired behavior."""
+    depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
     dx = jnp.abs(depth[:, 1:] - depth[:, :-1])
     dy = jnp.abs(depth[1:, :] - depth[:-1, :])
     g = jnp.zeros_like(depth)

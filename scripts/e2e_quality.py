@@ -111,6 +111,11 @@ def run(init_type, data_dir, scene, steps, result_dir):
     cfg.mdi.predictor = "stub"
     cfg.mdi.use_cache = False
     cfg.mdi.subsampling.subsample_factor = 6
+    # The expected-depth oracle is a mixture at silhouette boundaries
+    # (fg/bg depth blend) — mask high-gradient depth pixels so boundary
+    # pixels don't unproject to mid-air floaters (the reference's
+    # depth_grad_mask_thresh feature, config.py:37).
+    cfg.mdi.depth_gradient_mask = True
 
     mdi_model = None
     if init_type == "monocular_depth":

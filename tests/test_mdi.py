@@ -108,6 +108,18 @@ def test_depth_gradient_mask():
     assert m[5, 3] and m[5, 16]
 
 
+def test_depth_gradient_mask_nan_safe():
+    """NaN depths (masked-out pixels) must not poison the normalization —
+    a single NaN used to make the comparison mask EVERY pixel (zeroing the
+    whole mdi init when a predictor emits a validity-masked depth map)."""
+    depth = np.ones((20, 20), np.float32) * 3.0
+    depth[:, 14:] = np.nan  # invalid region (e.g. empty sky)
+    depth[:, 7:14] = 3.05  # mild interior variation
+    m = np.asarray(depth_gradient_mask(jnp.asarray(depth), 0.3))
+    assert m[5, 3] and m[5, 10]  # smooth interior kept
+    assert not m[5, 14]  # valid<->invalid boundary masked
+
+
 def test_lof_detects_outliers(rng):
     cluster = rng.normal(0, 0.1, (300, 3)).astype(np.float32)
     outliers = rng.uniform(3, 5, (10, 3)).astype(np.float32)
