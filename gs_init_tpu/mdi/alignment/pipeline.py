@@ -64,6 +64,7 @@ def align_depth(
     sfm_valid: np.ndarray,  # [M]
     key,
     acfg,  # DepthAlignmentConfig
+    normals: "np.ndarray | None" = None,  # [H, W, 3] for SAM use_normals
 ):
     """Returns (aligned_depth [H, W], mask [H, W])."""
     h, w = pred_depth.shape
@@ -90,7 +91,7 @@ def align_depth(
         from ..segmentation_sam import segment_depth_sam
 
         labels = segment_depth_sam(
-            pred_depth, np.asarray(pred_mask), None, seg,
+            pred_depth, np.asarray(pred_mask), normals, seg,
             allow_random_weights=seg.sam_allow_random_weights,
         )
     else:

@@ -53,7 +53,8 @@ def _predict_or_cached(cfg, model, items):
         if cfg.mdi.use_cache and os.path.exists(p):
             try:
                 data = np.load(p)
-                preds[i] = (data["depth"], data["mask"])
+                nrm = data["normal"] if "normal" in data.files else None
+                preds[i] = (data["depth"], data["mask"], nrm)
                 continue
             except Exception:  # corrupted cache entry: recompute
                 _LOGGER.warning("corrupted depth cache entry %s; recomputing", p)
@@ -72,14 +73,20 @@ def _predict_or_cached(cfg, model, items):
         ]
         outs = model.predict_depth_batch(images, intr)
         for i, out in zip(to_run, outs):
-            preds[i] = (np.asarray(out.depth), np.asarray(out.mask))
+            nrm = (
+                np.asarray(out.normal) if out.normal is not None else None
+            )
+            preds[i] = (np.asarray(out.depth), np.asarray(out.mask), nrm)
             if cfg.mdi.use_cache:
                 p = _cache_path(cfg, items[i]["image_name"])
                 tmp = p + ".tmp"
                 try:
                     # (np.savez appends ".npz" to bare paths — use a handle.)
+                    extra = {} if nrm is None else {"normal": nrm}
                     with open(tmp, "wb") as f:
-                        np.savez(f, depth=preds[i][0], mask=preds[i][1])
+                        np.savez(
+                            f, depth=preds[i][0], mask=preds[i][1], **extra
+                        )
                     os.replace(tmp, p)
                 except BaseException:  # interrupted write: drop partial file
                     if os.path.exists(tmp):
@@ -116,7 +123,7 @@ def pts_and_rgb_from_monocular_depth(
     for start in range(0, len(trainset), bs):
         items = [trainset[i] for i in range(start, min(start + bs, len(trainset)))]
         preds = _predict_or_cached(cfg, model, items)
-        for it, (depth, mask) in zip(items, preds):
+        for it, (depth, mask, normal) in zip(items, preds):
             h, w = it["image"].shape[:2]
             idx = parser.point_indices.get(it["image_name"], np.empty(0, np.int64))
             sfm = np.zeros((m_pad, 3), np.float32)
@@ -158,7 +165,7 @@ def pts_and_rgb_from_monocular_depth(
                 aligned, amask = align_depth(
                     np.asarray(depth, np.float32), np.asarray(mask),
                     np.asarray(pix), np.asarray(gt_z), np.asarray(ok),
-                    sk, mdi.alignment,
+                    sk, mdi.alignment, normals=normal,
                 )
                 world, m = masks_and_unproject(
                     jnp.asarray(aligned), jnp.asarray(amask),
