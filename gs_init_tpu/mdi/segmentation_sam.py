@@ -36,7 +36,7 @@ _STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 
 def viridis_rgb(x: np.ndarray) -> np.ndarray:
-    """Minimal viridis colormap (8 anchor points, linear interpolation) —
+    """Minimal viridis colormap (11 anchor points, linear interpolation) —
     stands in for matplotlib.cm.viridis (sam.py:91) without the matplotlib
     dependency; SAM only needs a perceptually-ordered false-color input."""
     anchors = np.array(

@@ -22,7 +22,7 @@ mask generator (mdi/segmentation_sam.py).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

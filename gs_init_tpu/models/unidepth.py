@@ -25,8 +25,6 @@ random-weights torch assembly of the same design
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
