@@ -153,9 +153,13 @@ def _fwd_kernel(
         base = c0 + i * chunk
         alpha, _ = _alpha_terms(d, px, py, start - base, end - base, chunk)
         logs = jnp.log1p(-alpha)
+        # HIGHEST: the log-transmittance prefix rides an exp() — bf16 MXU
+        # rounding of the logs (~2^-9 rel) compounds to percent-level weight
+        # error under deep near-opaque stacks.
         excl = jax.lax.dot_general(
             ltri, logs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         w = alpha * tcur * jnp.exp(excl)  # [chunk, P]
         rgbd = d[:, PACK_R : PACK_DEPTH + 1]  # [chunk, 4] r,g,b,depth
@@ -242,12 +246,30 @@ def _bwd_kernel(
             gbuf.at[slot], dpairs_ref.at[:, pl.ds(ooff, chunk)], osem.at[slot]
         )
 
-    # Zero-fill record slots of forward-skipped chunks (the downstream sort
-    # reads every written slot's VALID/GID columns, so they cannot stay
-    # uninitialized). Serialized writes: pure 8 KB DMAs, no compute.
+    # Forward-skipped chunks (early termination) still hold REAL pairs that
+    # the presort segment reduction counts: every in-range pair must emit
+    # exactly one record carrying its GID and VALID=1 (zero gradient
+    # payload), else the sorted segment boundaries shift and gradients get
+    # attributed to the wrong gaussians. Read the packed chunk (pure DMA,
+    # no gradient compute) to recover the GID column. Double-buffered:
+    # chunk j+1's read overlaps chunk j's tag+write.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (PACK_COLS, chunk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (PACK_COLS, chunk), 1)
+
     def zbody(j, _):
         slot = jax.lax.rem(j, 2)
-        gbuf[slot] = jnp.zeros_like(gbuf[slot])
+        r = rdma(j, slot)
+        r.start()
+        r.wait()
+        base = c0 + j * chunk
+        inr = (cols >= start - base) & (cols < end - base)
+        gbuf[slot] = jnp.where(
+            rows == PACK_GID,
+            buf[slot],
+            jnp.where(
+                (rows == PACK_VALID) & inr, 1.0, 0.0
+            ),
+        )
         w = wdma(j, slot)
         w.start()
         w.wait()
@@ -279,9 +301,12 @@ def _bwd_kernel(
         inv1m = 1.0 / (1.0 - alpha)
         # Transmittance before each gaussian: T_k = exp(lt_after - suffix);
         # clamped at 0 since float error could push the exponent positive.
+        # HIGHEST for the same exp()-amplification reason as the forward's
+        # prefix matmul.
         suf = jax.lax.dot_general(
             utri_incl, logs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         tk = jnp.exp(jnp.minimum(lt_after - suf, 0.0))
         w = alpha * tk
@@ -497,6 +522,10 @@ def _render_bwd(
     # garbage slots (never written / masked rows) sort to the end.
     written = jnp.arange(cap_pad, dtype=jnp.int32) < out_starts[-1]
     valid = written & (records[PACK_VALID] > 0.5)
+    # GID column carries gid + GID_BIAS as f32 bits (normal-float encoding;
+    # see tiles.GID_BIAS). Positive normal floats order like their bit
+    # patterns, so the raw bitcast is monotone in gid and the int32-max
+    # sentinel (> any biased gid < 0x7F800000) still sorts invalids last.
     key = jnp.where(
         valid,
         jax.lax.bitcast_convert_type(records[PACK_GID], jnp.int32),

@@ -39,8 +39,17 @@ PACK_CA, PACK_CB, PACK_CC = 2, 3, 4
 PACK_OPA = 5
 PACK_R, PACK_G, PACK_B = 6, 7, 8
 PACK_DEPTH = 9
-PACK_GID = 10  # gaussian id (int32 bits viewed as f32), rides the gathers
+PACK_GID = 10  # gaussian id (biased int32 bits viewed as f32, see GID_BIAS)
 PACK_VALID = 11  # 1.0 for in-range pairs (written by the backward kernel)
+# The gid column rides f32 tensors through gathers, Mosaic selects and DMAs.
+# Raw int32 bits for gid < 2**23 are f32 DENORMALS, and TPU vector units
+# flush denormals to zero — which silently zeroed the backward's sort keys
+# on hardware (gradients then attributed to whatever pairs sat at each
+# presort position). Biasing by 0x40000000 (the bit pattern of 2.0f) maps
+# every id below ~1.06e9 to a normal positive float, and positive normal
+# floats order exactly like their bit patterns, so the biased view stays
+# monotone in gid and sorts correctly with no decode step.
+GID_BIAS = 0x40000000
 # 12 used columns; padded to 16 because Mosaic DMA slices must be 8-aligned
 # along the sublane dim (12 was rejected: "Slice shape along dimension 0
 # must be aligned to tiling (8)").
@@ -206,12 +215,13 @@ def pack_table(
 ) -> jnp.ndarray:
     """Pack per-gaussian attributes into [C*N, PACK_COLS] f32 rows.
 
-    PACK_GID carries the row's own (cam*N + gaussian) id as raw int32 bits so
-    the backward kernel can tag gradient records for the sort-based
-    per-gaussian reduction."""
+    PACK_GID carries the row's own (cam*N + gaussian) id as GID_BIAS-offset
+    int32 bits (normal-float encoding — raw bits would be flushed-to-zero
+    denormals on TPU) so the backward kernel can tag gradient records for
+    the sort-based per-gaussian reduction."""
     c, n = opacities.shape
     gid_bits = jax.lax.bitcast_convert_type(
-        jnp.arange(c * n, dtype=jnp.int32), jnp.float32
+        jnp.arange(c * n, dtype=jnp.int32) + GID_BIAS, jnp.float32
     )
     return jnp.concatenate(
         [

@@ -206,6 +206,83 @@ def test_pallas_backward_early_termination(rng):
     assert np.abs(gc_pal[-8:]).max() < 1e-5
 
 
+def test_pallas_backward_termination_shuffled_gids(rng):
+    """Early termination with gid order DECOUPLED from depth order.
+
+    Forward-skipped pairs belong to arbitrary (not tail) gaussian ids here,
+    and other gaussians with interleaved ids are visible in different tiles.
+    The backward's record-sort segment reduction must keep every skipped
+    pair's GID/VALID tag so presort segment boundaries stay exact —
+    regression test for the zero-filled-record misattribution bug (skipped
+    records sorting to the tail shifted every later gaussian's segment)."""
+    n_stack, n_side = 320, 24
+    n = n_stack + n_side
+    means = np.zeros((n, 3), np.float32)
+    scales = np.zeros((n, 3), np.float32)
+    opac = np.zeros((n,), np.float32)
+    # Deep stack of LARGE near-opaque gaussians at image center: the center
+    # tile gets ~n_stack pairs (3 chunks at chunk=128) and every pixel of it
+    # saturates within the first chunk -> forward skips >= 1 chunk of real
+    # pairs. Depths shuffled so the skipped pairs carry arbitrary gids.
+    depths = np.linspace(2.0, 6.0, n_stack)
+    perm = rng.permutation(n_stack)
+    stack_idx = np.sort(rng.choice(n, n_stack, replace=False))
+    side_idx = np.setdiff1d(np.arange(n), stack_idx)
+    means[stack_idx, 0] = rng.uniform(-0.1, 0.1, n_stack)
+    means[stack_idx, 1] = rng.uniform(-0.1, 0.1, n_stack)
+    means[stack_idx, 2] = depths[perm]
+    scales[stack_idx] = 1.6  # sigma_screen = f*s/z in [16, 48] px
+    opac[stack_idx] = 0.95
+    # Side gaussians: visible in other tiles, ids interleaved with the
+    # stack's — their presort segments shift if skipped records lose tags.
+    means[side_idx, 0] = rng.uniform(-2.0, 2.0, n_side)
+    means[side_idx, 1] = rng.uniform(-1.5, 1.5, n_side)
+    means[side_idx, 2] = rng.uniform(2.5, 4.0, n_side)
+    scales[side_idx] = 0.15
+    opac[side_idx] = 0.8
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    viewmats = jnp.eye(4, dtype=jnp.float32)[None]
+    Ks = jnp.asarray(
+        [[[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]]], jnp.float32
+    )
+    target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)), jnp.float32)
+
+    # The scenario must actually reach the skip path: center tile holds
+    # multiple chunks of pairs.
+    proj = project_gaussians(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), viewmats, Ks, W, H,
+    )
+    b = bin_gaussians(
+        proj.means2d, proj.radii, proj.depths, W, H, 16, 32768, chunk=128
+    )
+    starts = np.asarray(b.tile_starts)
+    center_tile = (H // 2 // 16) * b.num_tiles_x + (W // 2 // 16)
+    assert starts[center_tile + 1] - starts[center_tile] > 256
+
+    def loss(impl, params):
+        m, o, c = params
+        render, alpha, _ = rasterize(
+            jnp.asarray(m), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(o), jnp.asarray(c), viewmats, Ks, W, H,
+            impl=impl, pair_capacity=32768, chunk_size=128, tile_size=16,
+        )
+        return jnp.mean((render - target) ** 2)
+
+    params = (means, opac, colors)
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss("xla", p))(params)
+    l_pal, g_pal = jax.value_and_grad(lambda p: loss("pallas", p))(params)
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-3)
+    for name, gr, gp in zip(["means", "opac", "colors"], g_ref, g_pal):
+        gp = np.asarray(gp)
+        assert np.isfinite(gp).all(), name
+        scale = np.abs(np.asarray(gr)).max() + 1e-8
+        np.testing.assert_allclose(
+            gp / scale, np.asarray(gr) / scale, atol=5e-3, err_msg=name
+        )
+
+
 def test_means2d_dummy_gradients(rng):
     """Screen-space gradient taps (densification signal) flow and match."""
     means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=24)
