@@ -52,6 +52,7 @@ from .tiles import (
     PACK_OPA,
     PACK_R,
     PACK_VALID,
+    _segment_ids_from_offsets,
     padded_capacity,
     segment_reduce_presort,
 )
@@ -247,29 +248,14 @@ def _bwd_kernel(
         )
 
     # Forward-skipped chunks (early termination) still hold REAL pairs that
-    # the presort segment reduction counts: every in-range pair must emit
-    # exactly one record carrying its GID and VALID=1 (zero gradient
-    # payload), else the sorted segment boundaries shift and gradients get
-    # attributed to the wrong gaussians. Read the packed chunk (pure DMA,
-    # no gradient compute) to recover the GID column. Double-buffered:
-    # chunk j+1's read overlaps chunk j's tag+write.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (PACK_COLS, chunk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (PACK_COLS, chunk), 1)
-
+    # the presort segment reduction counts — but their gradient w.r.t. the
+    # forward as computed is exactly zero, and the sort KEYS are derived
+    # XLA-side from the slot -> sorted-pair mapping (see _render_bwd), not
+    # from anything the kernel writes. Zero payload is all that's needed:
+    # pure 8 KB DMA writes, no reads, no compute.
     def zbody(j, _):
         slot = jax.lax.rem(j, 2)
-        r = rdma(j, slot)
-        r.start()
-        r.wait()
-        base = c0 + j * chunk
-        inr = (cols >= start - base) & (cols < end - base)
-        gbuf[slot] = jnp.where(
-            rows == PACK_GID,
-            buf[slot],
-            jnp.where(
-                (rows == PACK_VALID) & inr, 1.0, 0.0
-            ),
-        )
+        gbuf[slot] = jnp.zeros_like(gbuf[slot])
         w = wdma(j, slot)
         w.start()
         w.wait()
@@ -502,7 +488,7 @@ def _render_fwd(
     out = _composite_fwd_call(
         packed, tile_starts, num_tiles, ntx, nty, tile, chunk
     )
-    res = (packed, tile_starts, out_starts, offsets, counts, out)
+    res = (packed, gid_sorted, tile_starts, out_starts, offsets, counts, out)
     return out, res
 
 
@@ -510,25 +496,40 @@ def _render_bwd(
     num_tiles, ntx, nty, tile, chunk, want_depth_grad, want_absgrad,
     res, g_out,
 ):
-    packed, tile_starts, out_starts, offsets, counts, out = res
+    packed, gid_sorted, tile_starts, out_starts, offsets, counts, out = res
     pair_cap = packed.shape[1]
     cap_pad = padded_capacity(pair_cap, num_tiles, chunk)
     records = _composite_bwd_call(
         packed, tile_starts, out_starts, out, g_out,
         num_tiles, ntx, nty, tile, chunk, cap_pad,
     )  # [PACK_COLS, CAP_PAD] per-pair grads in aligned bwd-slot layout
-    # Sort records by the gaussian id they carry; valid pairs land grouped
-    # per gaussian in presort order (gids were assigned in presort order),
-    # garbage slots (never written / masked rows) sort to the end.
-    written = jnp.arange(cap_pad, dtype=jnp.int32) < out_starts[-1]
-    valid = written & (records[PACK_VALID] > 0.5)
-    # GID column carries gid + GID_BIAS as f32 bits (normal-float encoding;
-    # see tiles.GID_BIAS). Positive normal floats order like their bit
-    # patterns, so the raw bitcast is monotone in gid and the int32-max
-    # sentinel (> any biased gid < 0x7F800000) still sorts invalids last.
+    # Sort records by gaussian id; valid pairs land grouped per gaussian in
+    # presort order (gids were assigned in presort order), everything else
+    # sorts to the end. Keys come from the DETERMINISTIC slot -> sorted-pair
+    # mapping — tile t's output slot out_starts[t]+k holds the record of
+    # sorted pair align_down(tile_starts[t]) + k — gathered from the int32
+    # binning arrays, NEVER from a kernel-written f32 column: int32 gid bits
+    # viewed as f32 are denormals for gid < 2**23, and TPU vector units
+    # flush f32 denormals to zero (that silently scrambled the sort on
+    # hardware while CPU interpret stayed exact). It also lets the kernel
+    # zero-fill forward-skipped chunks without re-reading their pair data.
+    slot_tile, _ = _segment_ids_from_offsets(
+        out_starts[:-1], out_starts[-1], cap_pad
+    )
+    t_start = jnp.take(tile_starts, slot_tile, mode="clip")
+    t_end = jnp.take(tile_starts, slot_tile + 1, mode="clip")
+    pair_idx = (t_start // chunk) * chunk + (
+        jnp.arange(cap_pad, dtype=jnp.int32)
+        - jnp.take(out_starts, slot_tile, mode="clip")
+    )
+    valid = (
+        (jnp.arange(cap_pad, dtype=jnp.int32) < out_starts[-1])
+        & (pair_idx >= t_start)
+        & (pair_idx < t_end)
+    )
     key = jnp.where(
         valid,
-        jax.lax.bitcast_convert_type(records[PACK_GID], jnp.int32),
+        jnp.take(gid_sorted, pair_idx, mode="clip"),
         jnp.int32(2**31 - 1),
     )
     n_base = 10 if want_depth_grad else 9  # ddepth column optional
