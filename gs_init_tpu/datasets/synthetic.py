@@ -16,6 +16,55 @@ from ..ops.projection import project_gaussians
 from ..ops.rasterize_ref import rasterize_reference
 
 
+def render_surface_depth(proj, width: int, height: int) -> np.ndarray:
+    """Per-pixel depth of the dominant (max compositing-weight) gaussian.
+
+    The stand-in for what a monocular depth network actually predicts: the
+    visible surface, not the alpha-expectation blend `rasterize_reference`
+    returns in its depth channel (see SyntheticScene.surface_depths).
+    Zero-coverage pixels return 0 (callers mask on alpha anyway).
+    """
+    import jax
+
+    from ..ops.rasterize_ref import alpha_at
+
+    def render_one(means2d, conics, opac, depths, radii):
+        valid = radii > 0
+        order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
+        means2d, conics = means2d[order], conics[order]
+        opac, depths_s = opac[order], depths[order]
+        valid = valid[order]
+        ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+        xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+        pix = jnp.stack(
+            jnp.meshgrid(xs, ys, indexing="xy"), axis=-1
+        ).reshape(-1, 2)
+        npix = pix.shape[0]
+        chunk = min(2048, npix)
+        pad = (-npix) % chunk
+        pix = jnp.concatenate(
+            [pix, jnp.full((pad, 2), -1e6, jnp.float32)], axis=0
+        )
+
+        def body(pchunk):
+            alpha = alpha_at(means2d, conics, opac, valid, pchunk)
+            log1m = jnp.log1p(-alpha)
+            log_t_excl = jnp.cumsum(log1m, axis=0) - log1m
+            w = alpha * jnp.exp(log_t_excl)  # [N, P]
+            return depths_s[jnp.argmax(w, axis=0)]
+
+        chunks = pix.reshape(-1, chunk, 2)
+        return jax.lax.map(body, chunks).reshape(-1)[:npix].reshape(
+            height, width
+        )
+
+    return np.asarray(
+        jax.vmap(render_one)(
+            proj.means2d, proj.conics, proj.opacities, proj.depths, proj.radii
+        )
+    )
+
+
 class SyntheticScene(NamedTuple):
     points: np.ndarray  # [N, 3] gt gaussian means
     rgbs: np.ndarray  # [N, 3]
@@ -28,6 +77,14 @@ class SyntheticScene(NamedTuple):
     # GT expected-depth / coverage renders (depth-oracle fixtures).
     depths: np.ndarray = None  # [C, H, W]
     alphas: np.ndarray = None  # [C, H, W]
+    # Dominant-surface depth (depth of the max-compositing-weight gaussian
+    # per pixel). Monocular depth networks predict the VISIBLE SURFACE;
+    # the alpha-expectation `depths` blends foreground with whatever is
+    # behind it (a fg gaussian at z=3 with alpha .7 over a wall at z=8.5
+    # "expects" to z≈4.6), which corrupts depth↔SfM correspondences by
+    # ~20% — measured to break RANSAC alignment outright (negative scale).
+    # Use THIS field for depth-predictor oracles.
+    surface_depths: np.ndarray = None  # [C, H, W]
 
 
 def look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, -1.0, 0.0)) -> np.ndarray:
@@ -100,6 +157,9 @@ def make_scene(
         scene_scale=float(radius),
         depths=depths.astype(np.float32),
         alphas=alphas.astype(np.float32),
+        surface_depths=render_surface_depth(proj, width, height).astype(
+            np.float32
+        ),
     )
 
 
@@ -200,6 +260,9 @@ def make_clustered_scene(
         scene_scale=float(radius),
         depths=depths.astype(np.float32),
         alphas=alphas.astype(np.float32),
+        surface_depths=render_surface_depth(proj, width, height).astype(
+            np.float32
+        ),
     )
 
 
@@ -253,6 +316,18 @@ def write_colmap_scene(out_dir: str, scene: SyntheticScene, n_points: int = 64) 
             & (pix[:, 1] >= 0)
             & (pix[:, 1] < scene.height)
         )
+        if scene.surface_depths is not None:
+            # Visibility gate: real SfM only registers a 2D-3D observation
+            # where the feature is actually VISIBLE. Without this, points
+            # occluded by nearer gaussians produce depth correspondences
+            # with ~20% median error that break alignment (measured: 75%
+            # of in-frustum correspondences on the clustered proxy were
+            # occluded).
+            sd = scene.surface_depths[i]
+            xi = np.clip(pix[:, 0].astype(np.int64), 0, scene.width - 1)
+            yi = np.clip(pix[:, 1].astype(np.int64), 0, scene.height - 1)
+            surf = sd[yi, xi]
+            ok = ok & (np.abs(cam[:, 2] - surf) < 0.05 * np.maximum(surf, 1e-6))
         sel = np.where(ok)[0][:40]
         images[i + 1] = cio.ColmapImage(
             i + 1, q, w2c[:3, 3], 1, name, pix[sel], ids[sel]

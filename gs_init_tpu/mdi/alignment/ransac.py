@@ -12,6 +12,14 @@ inlier set) starting from the best hypothesis.
 Loss semantics match the reference exactly:
   dists = (s*pred + t - gt)^2
   RANSAC loss = #(dists >= thresh); MSAC loss = sum(min(dists, thresh)).
+
+One deliberate improvement over the reference: hypotheses (and LO refits)
+with scale <= 0 are rejected outright. Monocular depth predictions are
+positively correlated with true depth by construction, so a non-positive
+scale is always a degenerate fit — yet when the SfM correspondences span a
+narrow depth range, a constant/negative model can inlier-count as well as
+the true one (observed on the clustered e2e proxy: recovered s = -0.40).
+The reference would return that fit; we discard it.
 """
 from __future__ import annotations
 
@@ -65,6 +73,8 @@ def ransac_scale_shift(
         losses = jnp.sum(
             jnp.where(valid[None, :], dists >= inlier_threshold, False), axis=1
         ).astype(jnp.float32)
+    # Physical prior: depth scale must be positive (see module docstring).
+    losses = jnp.where(s_h > 0.0, losses, jnp.inf)
     best = jnp.argmin(losses)
     s_best, t_best = s_h[best], t_h[best]
 
@@ -81,7 +91,7 @@ def ransac_scale_shift(
             l2 = jnp.sum(jnp.where(valid, d2 >= inlier_threshold, False)).astype(
                 jnp.float32
             )
-        better = l2 < best_loss
+        better = (l2 < best_loss) & (s2 > 0.0)
         return (
             jnp.where(better, s2, s),
             jnp.where(better, t2, t),

@@ -54,15 +54,21 @@ def build_scene(
 
 
 def _gt_depth_oracle(scene, parser):
-    """Oracle stub predictor: true expected-depth maps (original scene
+    """Oracle stub predictor: true SURFACE-depth maps (original scene
     frame), affine-distorted — alignment must recover scale/shift from the
-    parser-space SfM points. Consumed in trainset order via a counter."""
+    parser-space SfM points. Consumed in trainset order via a counter.
+
+    Surface depth (dominant gaussian), not the alpha-expectation render:
+    expectation blends fg with the wall behind it, corrupting the depth at
+    SfM pixels by ~20% median — measured to break RANSAC alignment
+    outright (recovered scale went *negative*; see synthetic.py
+    render_surface_depth). Real monodepth networks predict the surface."""
     from gs_init_tpu.mdi.predictors.stub import StubPredictor
 
     train_ids = list(parser.split_indices("train"))
     depths = []
     for i in train_ids:
-        ed = scene.depths[i]
+        ed = scene.surface_depths[i]
         a = scene.alphas[i]
         # Zero-coverage pixels (empty sky) carry NO depth: NaN makes the
         # stub mask them out. (The round-2 proxy filled them with the
@@ -114,7 +120,7 @@ def run(init_type, data_dir, scene, steps, result_dir):
     cfg.strategy.refine_every = 150
     cfg.mdi.predictor = "stub"
     cfg.mdi.use_cache = False
-    cfg.mdi.subsampling.subsample_factor = 6
+    cfg.mdi.subsampling.factor = 6
     # The expected-depth oracle is a mixture at silhouette boundaries
     # (fg/bg depth blend) — mask high-gradient depth pixels so boundary
     # pixels don't unproject to mid-air floaters (the reference's

@@ -58,6 +58,25 @@ def test_ransac_robust_to_outliers(rng):
     assert abs(float(s_ls) - 0.8) + abs(float(t_ls) - 0.3) > 0.2
 
 
+def test_ransac_rejects_nonpositive_scale(rng):
+    """Narrow-depth-range correspondences with heavy noise: a constant or
+    negative-slope model can inlier-count as well as the true one, but a
+    depth-alignment scale must be positive (ransac.py docstring; observed
+    s=-0.40 on the clustered e2e proxy before the prior landed)."""
+    m = 60
+    d = rng.uniform(2.2, 2.6, m).astype(np.float32)  # narrow predicted range
+    gt = 0.9 * d - 1.2
+    noisy = rng.choice(m, 40, replace=False)  # 2/3 corrupted, biased up
+    gt = gt.copy()
+    gt[noisy] += rng.uniform(0.05, 0.5, 40).astype(np.float32)
+    for seed in range(5):
+        s, t, _ = ransac_scale_shift(
+            jnp.asarray(d), jnp.asarray(gt), jnp.ones(m, bool),
+            jax.random.PRNGKey(seed), num_hyp=800,
+        )
+        assert float(s) > 0.0, f"seed {seed} returned s={float(s)}"
+
+
 def test_msac_variant(rng):
     d = rng.uniform(1, 5, 200).astype(np.float32)
     gt = 1.5 * d - 0.2
