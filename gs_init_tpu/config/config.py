@@ -267,7 +267,15 @@ class Config:
     near_plane: float = 0.01
     far_plane: float = 1e10
     antialiased: bool = False
-    packed: bool = False
+    # gsplat memory-mode compat flags (reference runner.py:341-362). The TPU
+    # rasterizer is *always* packed: binning compacts camera-gaussian pairs
+    # into a static pair table ([PACK_COLS, pair_capacity], ops/tiles.py) and
+    # no [C, N]-dense image-space intermediate ever exists — so `packed` is
+    # accepted and inherent. Per-pair gradients likewise reduce through the
+    # sorted record table (ops/rasterize.py::_render_bwd), the dense-free
+    # analog of gsplat's sparse_grad; XLA's static shapes have no COO form,
+    # so `sparse_grad` changes nothing here either.
+    packed: bool = True
     sparse_grad: bool = False
 
     # Rasterizer capacities (TPU additions; XLA needs static shapes).

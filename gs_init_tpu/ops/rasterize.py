@@ -3,12 +3,15 @@
 TPU-native replacement for gsplat's ``rasterize_to_pixels`` CUDA kernels
 (reference call site runner.py:341-362). Design notes:
 
-* Per-tile front-to-back alpha compositing is reformulated as **MXU
-  matmuls**: within a chunk of K sorted gaussians the exclusive
-  log-transmittance prefix is ``L @ log1p(-alpha)`` with ``L`` the strictly
-  lower-triangular ones matrix, and color accumulation is a ``[K,4]^T @
-  [K,P]`` contraction. No per-gaussian sequential loop — the systolic array
-  does the scan. CUDA needs warp-serial compositing here; the TPU does not.
+* Per-tile front-to-back alpha compositing has no per-gaussian sequential
+  loop: within a chunk of K sorted gaussians the exclusive
+  log-transmittance prefix (and the backward's suffix accumulators) run as
+  **Hillis-Steele shifted-add scans** — log2(K) exact-f32 VPU adds, see
+  ``_prefix_scan`` — while color accumulation stays a ``[K,4]^T @ [K,P]``
+  MXU contraction. CUDA needs warp-serial compositing here; the TPU does
+  not. (Triangular-matrix matmul scans were the v1 design; the scans are
+  cheaper than the Precision.HIGHEST passes the exp()-amplified logs
+  forced on the MXU.)
 * Pairs arrive **attribute-major** ([PACK_COLS, PAIR_CAP] f32, sorted
   order; see tiles.py) — minor dim = pairs, so XLA does not lane-pad the
   narrow attribute dim and chunk DMA slices are 128-aligned.
@@ -46,11 +49,12 @@ from .tiles import (
     PACK_CC,
     PACK_COLS,
     PACK_DEPTH,
+    PACK_GID,
     PACK_MX,
     PACK_MY,
     PACK_OPA,
     PACK_R,
-    _segment_ids_from_offsets,
+    PACK_VALID,
     padded_capacity,
     segment_reduce_presort,
 )
@@ -71,10 +75,35 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _tri(chunk: int, strict_lower: bool) -> jnp.ndarray:
-    i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    return (j < i if strict_lower else j > i).astype(jnp.float32)
+def _prefix_scan(x, *, reverse: bool = False, exclusive: bool = False):
+    """Hillis-Steele prefix sum of [chunk, P] along axis 0, exact in f32.
+
+    Replaces the triangular-matrix matmul for the log-transmittance
+    prefix/suffix: the prefix rides an exp(), so bf16 MXU rounding of the
+    logs (~2^-9 rel) compounds to percent-level weight error under deep
+    near-opaque stacks, and a Precision.HIGHEST matmul costs 6 bf16 passes.
+    log2(chunk) shifted VPU adds are exact f32 and stay off the MXU.
+    """
+    n, p = x.shape
+    zrow = jnp.zeros((1, p), x.dtype)
+    s = x
+    k = 1
+    while k < n:
+        z = jnp.zeros((k, p), x.dtype)
+        sh = (
+            jnp.concatenate([s[k:], z], 0)
+            if reverse
+            else jnp.concatenate([z, s[:-k]], 0)
+        )
+        s = s + sh
+        k *= 2
+    if exclusive:
+        s = (
+            jnp.concatenate([s[1:], zrow], 0)
+            if reverse
+            else jnp.concatenate([zrow, s[:-1]], 0)
+        )
+    return s
 
 
 def _alpha_terms(d, px, py, lo, hi, chunk):
@@ -114,13 +143,8 @@ def _pixel_coords(t, tile, ntx, nty, pixels):
     return px, py
 
 
-def _bands(pixels: int) -> int:
-    """Number of independent termination bands (128-px lane groups)."""
-    return max(pixels // 128, 1)
-
-
 def _fwd_kernel(
-    starts_ref, packed_ref, out_ref, buf, tcur_ref, lt_ref, nstate, sem,
+    starts_ref, packed_ref, out_ref, buf, sem,
     *, chunk, tile, ntx, nty, pixels,
 ):
     t = pl.program_id(0)
@@ -128,17 +152,9 @@ def _fwd_kernel(
     end = starts_ref[t + 1]
     c0 = (start // chunk) * chunk
     nchunks = jnp.where(end > start, (end - c0 + chunk - 1) // chunk, 0)
-    nb = _bands(pixels)
-    band = pixels // nb
 
     px, py = _pixel_coords(t, tile, ntx, nty, pixels)
     out_ref[0] = jnp.zeros((OUT_ROWS, pixels), jnp.float32)
-    tcur_ref[...] = jnp.ones((1, pixels), jnp.float32)
-    lt_ref[...] = jnp.zeros((1, pixels), jnp.float32)
-    for b in range(nb):
-        nstate[b] = 0
-        nstate[nb + b] = jnp.where(nchunks > 0, 1, 0)  # alive flags
-    ltri = _tri(chunk, strict_lower=True)
 
     def dma(j, slot):
         off = pl.multiple_of(c0 + j * chunk, chunk)
@@ -151,14 +167,8 @@ def _fwd_kernel(
     def _():
         dma(0, 0).start()
 
-    # Sub-tile early termination: each 128-px band carries its own alive
-    # flag, so a saturated band (every pixel T < eps) skips ALL compute for
-    # the remaining chunks while stragglers continue. Chunk DMA is shared —
-    # bands process the same descending chunk stream, just drop out early.
-    # This recovers most of CUDA's per-pixel early-exit advantage without
-    # divergence: the guard granularity is one VPU lane group.
     def body(carry):
-        i, _ = carry
+        i, tcur, lt, _ = carry
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < nchunks)
@@ -168,53 +178,31 @@ def _fwd_kernel(
         dma(i, slot).wait()
         d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS]
         base = c0 + i * chunk
+        alpha, _ = _alpha_terms(d, px, py, start - base, end - base, chunk)
+        logs = jnp.log1p(-alpha)
+        excl = _prefix_scan(logs, exclusive=True)
+        w = alpha * tcur * jnp.exp(excl)  # [chunk, P]
         rgbd = d[:, PACK_R : PACK_DEPTH + 1]  # [chunk, 4] r,g,b,depth
-
-        for b in range(nb):
-            bsl = slice(b * band, (b + 1) * band)
-
-            @pl.when(nstate[nb + b] == 1)
-            def _(b=b, bsl=bsl):
-                alpha, _ = _alpha_terms(
-                    d, px[:, bsl], py[:, bsl], start - base, end - base, chunk
-                )
-                logs = jnp.log1p(-alpha)
-                # HIGHEST: the log-transmittance prefix rides an exp() —
-                # bf16 MXU rounding of the logs (~2^-9 rel) compounds to
-                # percent-level weight error under deep near-opaque stacks.
-                excl = jax.lax.dot_general(
-                    ltri, logs, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                tb = tcur_ref[0:1, bsl]
-                w = alpha * tb * jnp.exp(excl)  # [chunk, band]
-                contrib = jax.lax.dot_general(
-                    rgbd, w, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [4, band]
-                out_ref[0, ROW_R : ROW_B + 1, bsl] += contrib[0:3]
-                out_ref[0, ROW_DEPTH, bsl] += contrib[3]
-                s = jnp.sum(logs, axis=0, keepdims=True)
-                tnew = tb * jnp.exp(s)
-                tcur_ref[0:1, bsl] = tnew
-                lt_ref[0:1, bsl] += s
-                nstate[b] = i + 1
-                nstate[nb + b] = jnp.where(
-                    jnp.max(tnew) > TERM_EPS, 1, 0
-                )
-
-        alive = nstate[nb]
-        for b in range(1, nb):
-            alive = alive | nstate[nb + b]
-        return i + 1, alive == 1
+        contrib = jax.lax.dot_general(
+            rgbd, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [4, P]
+        out_ref[0, ROW_R : ROW_B + 1, :] += contrib[0:3]
+        out_ref[0, ROW_DEPTH, :] += contrib[3]
+        s = jnp.sum(logs, axis=0, keepdims=True)
+        tnew = tcur * jnp.exp(s)
+        alive = jnp.max(tnew) > TERM_EPS
+        return i + 1, tnew, lt + s, alive
 
     def cond(carry):
-        i, alive = carry
+        i, _, _, alive = carry
         return (i < nchunks) & alive
 
-    i_end, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.bool_(True))
+    tinit = jnp.ones((1, pixels), jnp.float32)
+    i_end, tfin, ltfin, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), tinit, jnp.zeros((1, pixels), jnp.float32),
+         jnp.bool_(True)),
     )
 
     # Early termination leaves the prefetched next chunk's DMA in flight;
@@ -223,19 +211,17 @@ def _fwd_kernel(
     def _():
         dma(i_end, jax.lax.rem(i_end, 2)).wait()
 
-    tfin = tcur_ref[0, :]
-    out_ref[0, ROW_ACC, :] = 1.0 - tfin
-    out_ref[0, ROW_T, :] = tfin
-    out_ref[0, ROW_LOGT, :] = lt_ref[0, :]
-    for b in range(nb):
-        out_ref[0, ROW_NPROC, b * band : (b + 1) * band] = jnp.full(
-            (band,), 1.0, jnp.float32
-        ) * nstate[b].astype(jnp.float32)
+    out_ref[0, ROW_ACC, :] = 1.0 - tfin[0]
+    out_ref[0, ROW_T, :] = tfin[0]
+    out_ref[0, ROW_LOGT, :] = ltfin[0]
+    out_ref[0, ROW_NPROC, :] = jnp.full((pixels,), 1.0, jnp.float32) * i_end.astype(
+        jnp.float32
+    )
 
 
 def _bwd_kernel(
     starts_ref, ostarts_ref, packed_ref, fwdout_ref, gout_ref, dpairs_ref,
-    buf, gbuf, lt_ref, r_ref, sem, osem,
+    buf, gbuf, sem, osem,
     *, chunk, tile, ntx, nty, pixels,
 ):
     t = pl.program_id(0)
@@ -244,30 +230,26 @@ def _bwd_kernel(
     c0 = (start // chunk) * chunk
     obase = ostarts_ref[t]
     nchunks = jnp.where(end > start, (end - c0 + chunk - 1) // chunk, 0)
-    nb = _bands(pixels)
-    band = pixels // nb
 
     px, py = _pixel_coords(t, tile, ntx, nty, pixels)
 
-    # Per-pixel running suffix state, seeded from the forward's final log T
-    # (log-space reconstruction: exp(lt - suf) <= 1 by construction, immune
-    # to the T_after-underflow x exp-overflow blowup of the multiplicative
-    # form). Refs, not loop carries, because bands update their own pixel
-    # slices under pl.when guards.
-    lt_ref[...] = fwdout_ref[0, ROW_LOGT : ROW_LOGT + 1, :]
-    r_ref[...] = jnp.zeros((1, pixels), jnp.float32)
-    # Per-band forward progress: band b composited chunks [0, nproc_b).
-    # Chunks beyond a band's nproc_b have EXACTLY zero gradient for its
-    # pixels w.r.t. the forward as computed.
-    nproc_b = [
-        fwdout_ref[0, ROW_NPROC, b * band].astype(jnp.int32) for b in range(nb)
-    ]
-    nproc_max = nproc_b[0]
-    for b in range(1, nb):
-        nproc_max = jnp.maximum(nproc_max, nproc_b[b])
-
-    utri_incl = 1.0 - _tri(chunk, strict_lower=True)  # j >= i
-    utri_strict = _tri(chunk, strict_lower=False)  # j > i
+    g_rgbd = jnp.concatenate(
+        [gout_ref[0, ROW_R : ROW_B + 1, :], gout_ref[0, ROW_DEPTH : ROW_DEPTH + 1, :]],
+        axis=0,
+    )  # [4, P]
+    # acc = 1 - T_final and T_final itself are both outputs; the combined
+    # dL/dalpha_k contribution of the T_N path is (g_acc - g_T) T_N/(1-a_k).
+    g_tn = gout_ref[0, ROW_ACC : ROW_ACC + 1, :] - gout_ref[0, ROW_T : ROW_T + 1, :]
+    tfin = fwdout_ref[0, ROW_T : ROW_T + 1, :]  # [1, P]
+    # log T_final accumulated by the forward: transmittance reconstruction
+    # runs in log space (exp(lt - suf) <= 1 by construction), immune to the
+    # T_after-underflow x exp-overflow blowup of the multiplicative form.
+    lt_fin = fwdout_ref[0, ROW_LOGT : ROW_LOGT + 1, :]
+    gt = g_tn * tfin  # loop-invariant piece of the dL/dalpha T_N path
+    # Chunks the forward never composited (early termination at T < eps)
+    # have EXACTLY zero gradient w.r.t. the forward as computed — skip their
+    # compute entirely and only zero-fill their record slots below.
+    nproc = fwdout_ref[0, ROW_NPROC, 0].astype(jnp.int32)
 
     def rdma(j, slot):
         off = pl.multiple_of(c0 + j * chunk, chunk)
@@ -281,31 +263,46 @@ def _bwd_kernel(
             gbuf.at[slot], dpairs_ref.at[:, pl.ds(ooff, chunk)], osem.at[slot]
         )
 
-    # Chunks NO band composited still hold REAL pairs that the presort
-    # segment reduction counts — but the sort KEYS are derived XLA-side from
-    # the slot -> sorted-pair mapping (see _render_bwd), not from anything
-    # the kernel writes. Zero payload is all that's needed: pure 8 KB DMA
-    # writes, no reads, no compute.
+    # Forward-skipped chunks (early termination) still hold REAL pairs that
+    # the presort segment reduction counts: every in-range pair must emit
+    # exactly one record carrying its GID and VALID=1 (zero gradient
+    # payload), else the sorted segment boundaries shift and gradients get
+    # attributed to the wrong gaussians. Read the packed chunk (pure DMA,
+    # no gradient compute) to recover the GID column. Double-buffered:
+    # chunk j+1's read overlaps chunk j's tag+write.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (PACK_COLS, chunk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (PACK_COLS, chunk), 1)
+
     def zbody(j, _):
         slot = jax.lax.rem(j, 2)
-        gbuf[slot] = jnp.zeros_like(gbuf[slot])
+        r = rdma(j, slot)
+        r.start()
+        r.wait()
+        base = c0 + j * chunk
+        inr = (cols >= start - base) & (cols < end - base)
+        gbuf[slot] = jnp.where(
+            rows == PACK_GID,
+            buf[slot],
+            jnp.where(
+                (rows == PACK_VALID) & inr, 1.0, 0.0
+            ),
+        )
         w = wdma(j, slot)
         w.start()
         w.wait()
         return 0
 
-    jax.lax.fori_loop(nproc_max, nchunks, zbody, 0)
+    jax.lax.fori_loop(nproc, nchunks, zbody, 0)
 
-    # Back-to-front traversal over the chunks ANY band processed; reads
-    # double-buffered, writes overlapped. Bands share the descending chunk
-    # stream and join once i drops below their own nproc_b (sub-tile
-    # termination: saturated bands skip all compute, not just masking).
-    @pl.when(nproc_max > 0)
+    # Back-to-front traversal over the PROCESSED chunks only; reads
+    # double-buffered, writes overlapped.
+    @pl.when(nproc > 0)
     def _():
-        rdma(nproc_max - 1, jax.lax.rem(nproc_max - 1, 2)).start()
+        rdma(nproc - 1, jax.lax.rem(nproc - 1, 2)).start()
 
-    def body(rev, _):
-        i = nproc_max - 1 - rev
+    def body(rev, carry):
+        lt_after, r_after = carry
+        i = nproc - 1 - rev
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i - 1 >= 0)
@@ -315,114 +312,64 @@ def _bwd_kernel(
         rdma(i, slot).wait()
         d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS]
         base = c0 + i * chunk
+
+        alpha, aux = _alpha_terms(d, px, py, start - base, end - base, chunk)
+        logs = jnp.log1p(-alpha)
+        inv1m = 1.0 / (1.0 - alpha)
+        # Transmittance before each gaussian: T_k = exp(lt_after - suffix);
+        # clamped at 0 since float error could push the exponent positive.
+        suf = _prefix_scan(logs, reverse=True)
+        tk = jnp.exp(jnp.minimum(lt_after - suf, 0.0))
+        w = alpha * tk
         rgbd = d[:, PACK_R : PACK_DEPTH + 1]  # [chunk, 4]
+        q = jax.lax.dot_general(
+            rgbd, g_rgbd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [chunk, P] = sum_ch c_ch * g_ch + d * g_d
+        u = q * w
+        # r_in[k] = sum_{j>k} u[j] + r_after: same exclusive reverse scan
+        # shape as the transmittance suffix — the last O(chunk^2) matmul in
+        # the kernel, now O(chunk log chunk) VPU adds.
+        r_in = _prefix_scan(u, reverse=True, exclusive=True) + r_after
+        dalpha = q * tk - (r_in - gt) * inv1m
 
-        def band_partials(b):
-            bsl = slice(b * band, (b + 1) * band)
+        # Chain through alpha -> (opacity, conic, mean2d); clamped/skipped
+        # entries get zero gradient (matches the oracle's autodiff).
+        dcols = jax.lax.dot_general(
+            w, g_rgbd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [chunk, 4] = (dr, dg, db, ddepth)
+        live = aux["unclamped"]
+        e = jnp.where(live, aux["e"], 0.0)
+        dopa = jnp.sum(dalpha * e, axis=1, keepdims=True)
+        dsig = -dalpha * jnp.where(live, aux["araw"], 0.0)
+        dx, dy = aux["dx"], aux["dy"]
+        # Moment form: the five conic/mean gradients share the weighted
+        # first/second moments of (dx, dy) under dsig — 5 products + 5
+        # reduces instead of ~16 per-pixel ops, and the mean gradients
+        # become [chunk, 1] math on the first moments.
+        dsx = dsig * dx
+        dsy = dsig * dy
+        dca = 0.5 * jnp.sum(dsx * dx, axis=1, keepdims=True)
+        dcb = jnp.sum(dsx * dy, axis=1, keepdims=True)
+        dcc = 0.5 * jnp.sum(dsy * dy, axis=1, keepdims=True)
+        sx = jnp.sum(dsx, axis=1, keepdims=True)
+        sy = jnp.sum(dsy, axis=1, keepdims=True)
+        dmx = -(aux["ca"] * sx + aux["cb"] * sy)
+        dmy = -(aux["cc"] * sy + aux["cb"] * sx)
 
-            def live():
-                # Per-band rows are loaded from the refs HERE, not sliced
-                # from precomputed [1, P] values: value slices carry their
-                # lane-offset layout, which Mosaic rejects when broadcast
-                # to [chunk, band] inside this cond branch.
-                g_rgbd_b = jnp.concatenate(
-                    [
-                        gout_ref[0, ROW_R : ROW_B + 1, bsl],
-                        gout_ref[0, ROW_DEPTH : ROW_DEPTH + 1, bsl],
-                    ],
-                    axis=0,
-                )  # [4, band]
-                # acc = 1 - T_final and T_final itself are both outputs;
-                # the combined dL/dalpha contribution of the T_N path is
-                # (g_acc - g_T) T_N/(1-a_k).
-                gt_b = (
-                    gout_ref[0, ROW_ACC : ROW_ACC + 1, bsl]
-                    - gout_ref[0, ROW_T : ROW_T + 1, bsl]
-                ) * fwdout_ref[0, ROW_T : ROW_T + 1, bsl]
-                alpha, aux = _alpha_terms(
-                    d, px[:, bsl], py[:, bsl], start - base, end - base, chunk
-                )
-                logs = jnp.log1p(-alpha)
-                inv1m = 1.0 / (1.0 - alpha)
-                # Transmittance before each gaussian: exp(lt_after - suf),
-                # clamped at 0 since float error could push the exponent
-                # positive. HIGHEST for the same exp()-amplification reason
-                # as the forward's prefix matmul.
-                suf = jax.lax.dot_general(
-                    utri_incl, logs, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                lt_after = lt_ref[0:1, bsl]
-                tk = jnp.exp(jnp.minimum(lt_after - suf, 0.0))
-                w = alpha * tk
-                q = jax.lax.dot_general(
-                    rgbd, g_rgbd_b, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [chunk, band] = sum_ch c_ch * g_ch + d * g_d
-                u = q * w
-                r_in = (
-                    jax.lax.dot_general(
-                        utri_strict, u, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    + r_ref[0:1, bsl]
-                )
-                dalpha = q * tk - (r_in - gt_b) * inv1m
-
-                # Chain through alpha -> (opacity, conic, mean2d); clamped/
-                # skipped entries get zero gradient (matches the oracle).
-                dcols = jax.lax.dot_general(
-                    w, g_rgbd_b, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [chunk, 4] = (dr, dg, db, ddepth)
-                live_m = aux["unclamped"]
-                e = jnp.where(live_m, aux["e"], 0.0)
-                dopa = jnp.sum(dalpha * e, axis=1, keepdims=True)
-                dsig = -dalpha * jnp.where(live_m, aux["araw"], 0.0)
-                dx, dy = aux["dx"], aux["dy"]
-                # Moment form: the five conic/mean gradient chains share the
-                # dsig-weighted first/second moments of (dx, dy) — 5
-                # products + 5 reduces instead of ~16 per-pixel ops. The
-                # moments are linear over bands, so conic application
-                # happens once after the band sum.
-                dsx = dsig * dx
-                dsy = dsig * dy
-                dca = 0.5 * jnp.sum(dsx * dx, axis=1, keepdims=True)
-                dcb = jnp.sum(dsx * dy, axis=1, keepdims=True)
-                dcc = 0.5 * jnp.sum(dsy * dy, axis=1, keepdims=True)
-                sx = jnp.sum(dsx, axis=1, keepdims=True)
-                sy = jnp.sum(dsy, axis=1, keepdims=True)
-                lt_ref[0:1, bsl] = lt_after - jnp.sum(
-                    logs, axis=0, keepdims=True
-                )
-                r_ref[0:1, bsl] = r_in[0:1] + u[0:1]
-                return dcols, dopa, dca, dcb, dcc, sx, sy
-
-            def dead():
-                z1 = jnp.zeros((chunk, 1), jnp.float32)
-                return (
-                    jnp.zeros((chunk, 4), jnp.float32),
-                    z1, z1, z1, z1, z1, z1,
-                )
-
-            return jax.lax.cond(i < nproc_b[b], live, dead)
-
-        parts_b = [band_partials(b) for b in range(nb)]
-        dcols, dopa, dca, dcb, dcc, sx, sy = (
-            functools.reduce(jnp.add, comps) for comps in zip(*parts_b)
-        )
-        ca = d[:, PACK_CA : PACK_CA + 1]
-        cb = d[:, PACK_CB : PACK_CB + 1]
-        cc = d[:, PACK_CC : PACK_CC + 1]
-        dmx = -(ca * sx + cb * sy)
-        dmy = -(cc * sy + cb * sx)
-
+        # Tag each record with its gaussian id + in-range validity so the
+        # XLA side can sort records by gaussian for the segment reduction.
+        k = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        inrange = ((k >= start - base) & (k < end - base)).astype(jnp.float32)
         parts = [
             dmx, dmy, dca, dcb, dcc, dopa,
             dcols,  # dr, dg, db at PACK_R..PACK_B, ddepth at PACK_DEPTH
-            jnp.zeros((chunk, PACK_COLS - 10), jnp.float32),
+            d[:, PACK_GID : PACK_GID + 1],
+            inrange,
         ]
+        if PACK_COLS > 12:  # zero-width vectors are invalid under Mosaic
+            parts.append(jnp.zeros((chunk, PACK_COLS - 12), jnp.float32))
         grec = jnp.concatenate(parts, axis=1)
         # Reuse of a gbuf slot must wait for its previous write to drain.
         @pl.when(rev >= 2)
@@ -431,16 +378,24 @@ def _bwd_kernel(
 
         gbuf[slot] = jnp.transpose(grec)
         wdma(i, slot).start()
-        return 0
 
-    jax.lax.fori_loop(0, nproc_max, body, 0)
+        lt_next = lt_after - jnp.sum(logs, axis=0, keepdims=True)
+        r_next = r_after + jnp.sum(u, axis=0, keepdims=True)
+        return lt_next, r_next
+
+    jax.lax.fori_loop(
+        0,
+        nproc,
+        body,
+        (lt_fin, jnp.zeros((1, pixels), jnp.float32)),
+    )
 
     # Drain outstanding writes (the last two chunks processed are i=1, i=0).
-    @pl.when(nproc_max >= 2)
+    @pl.when(nproc >= 2)
     def _():
         wdma(1, 1).wait()
 
-    @pl.when(nproc_max >= 1)
+    @pl.when(nproc >= 1)
     def _():
         wdma(0, 0).wait()
 
@@ -458,9 +413,6 @@ def _composite_fwd_call(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
         out_specs=pl.BlockSpec((1, OUT_ROWS, pixels), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, PACK_COLS, chunk), jnp.float32),
-            pltpu.VMEM((1, pixels), jnp.float32),  # running T
-            pltpu.VMEM((1, pixels), jnp.float32),  # running log T
-            pltpu.SMEM((2 * _bands(pixels),), jnp.int32),  # nproc + alive per band
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -496,8 +448,6 @@ def _composite_bwd_call(
         scratch_shapes=[
             pltpu.VMEM((2, PACK_COLS, chunk), jnp.float32),
             pltpu.VMEM((2, PACK_COLS, chunk), jnp.float32),
-            pltpu.VMEM((1, pixels), jnp.float32),  # running suffix log T
-            pltpu.VMEM((1, pixels), jnp.float32),  # running r_after
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -560,7 +510,7 @@ def _render_fwd(
     out = _composite_fwd_call(
         packed, tile_starts, num_tiles, ntx, nty, tile, chunk
     )
-    res = (packed, gid_sorted, tile_starts, out_starts, offsets, counts, out)
+    res = (packed, tile_starts, out_starts, offsets, counts, out)
     return out, res
 
 
@@ -568,40 +518,25 @@ def _render_bwd(
     num_tiles, ntx, nty, tile, chunk, want_depth_grad, want_absgrad,
     res, g_out,
 ):
-    packed, gid_sorted, tile_starts, out_starts, offsets, counts, out = res
+    packed, tile_starts, out_starts, offsets, counts, out = res
     pair_cap = packed.shape[1]
     cap_pad = padded_capacity(pair_cap, num_tiles, chunk)
     records = _composite_bwd_call(
         packed, tile_starts, out_starts, out, g_out,
         num_tiles, ntx, nty, tile, chunk, cap_pad,
     )  # [PACK_COLS, CAP_PAD] per-pair grads in aligned bwd-slot layout
-    # Sort records by gaussian id; valid pairs land grouped per gaussian in
-    # presort order (gids were assigned in presort order), everything else
-    # sorts to the end. Keys come from the DETERMINISTIC slot -> sorted-pair
-    # mapping — tile t's output slot out_starts[t]+k holds the record of
-    # sorted pair align_down(tile_starts[t]) + k — gathered from the int32
-    # binning arrays, NEVER from a kernel-written f32 column: int32 gid bits
-    # viewed as f32 are denormals for gid < 2**23, and TPU vector units
-    # flush f32 denormals to zero (that silently scrambled the sort on
-    # hardware while CPU interpret stayed exact). It also lets the kernel
-    # zero-fill forward-skipped chunks without re-reading their pair data.
-    slot_tile, _ = _segment_ids_from_offsets(
-        out_starts[:-1], out_starts[-1], cap_pad
-    )
-    t_start = jnp.take(tile_starts, slot_tile, mode="clip")
-    t_end = jnp.take(tile_starts, slot_tile + 1, mode="clip")
-    pair_idx = (t_start // chunk) * chunk + (
-        jnp.arange(cap_pad, dtype=jnp.int32)
-        - jnp.take(out_starts, slot_tile, mode="clip")
-    )
-    valid = (
-        (jnp.arange(cap_pad, dtype=jnp.int32) < out_starts[-1])
-        & (pair_idx >= t_start)
-        & (pair_idx < t_end)
-    )
+    # Sort records by the gaussian id they carry; valid pairs land grouped
+    # per gaussian in presort order (gids were assigned in presort order),
+    # garbage slots (never written / masked rows) sort to the end.
+    written = jnp.arange(cap_pad, dtype=jnp.int32) < out_starts[-1]
+    valid = written & (records[PACK_VALID] > 0.5)
+    # GID column carries gid + GID_BIAS as f32 bits (normal-float encoding;
+    # see tiles.GID_BIAS). Positive normal floats order like their bit
+    # patterns, so the raw bitcast is monotone in gid and the int32-max
+    # sentinel (> any biased gid < 0x7F800000) still sorts invalids last.
     key = jnp.where(
         valid,
-        jnp.take(gid_sorted, pair_idx, mode="clip"),
+        jax.lax.bitcast_convert_type(records[PACK_GID], jnp.int32),
         jnp.int32(2**31 - 1),
     )
     n_base = 10 if want_depth_grad else 9  # ddepth column optional

@@ -76,7 +76,7 @@ def composite_chunk(
     """Front-to-back alpha compositing of one gaussian chunk, vectorized.
 
     Exclusive transmittance products are computed in log space with a cumsum
-    (the Pallas kernel does the same with a triangular matmul on the MXU).
+    (the Pallas kernel does the same with a Hillis-Steele shifted-add scan).
     """
     log1m = jnp.log1p(-alpha)
     log_t_excl = jnp.cumsum(log1m, axis=0) - log1m  # exclusive prefix
