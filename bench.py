@@ -70,6 +70,7 @@ def main():
         chunk_size=int(_os.environ.get("GS_BENCH_CHUNK", 128)),
     )
     cfg.pair_capacity = int(_os.environ.get("GS_BENCH_PAIR_CAP", cfg.pair_capacity))
+    cfg.reorder_table = bool(int(_os.environ.get("GS_BENCH_REORDER", 0)))
     # Snug-cap cache: remembers the right-sized pair capacity per scenario
     # so later invocations (e.g. the driver's) compile exactly once.
     _cache_path = _os.path.join(_os.path.dirname(__file__), ".bench_cap_cache.json")

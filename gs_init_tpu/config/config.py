@@ -288,6 +288,10 @@ class Config:
     # on refine boundaries so recompiles coincide with natural pauses).
     auto_pair_capacity: bool = True
     chunk_size: int = 128
+    # Physically reorder the packed attribute table by center tile each step
+    # so the per-pair pack gather reads near-contiguous rows (HBM access
+    # locality) at the cost of one extra [C*N]-row gather + rank remap.
+    reorder_table: bool = False
     # Use the Pallas tile kernel ("pallas") or the pure-XLA reference
     # compositor ("xla", used on CPU/tests and tiny scenes).
     rasterizer_impl: Literal["auto", "pallas", "xla"] = "auto"

@@ -464,9 +464,9 @@ def _composite_bwd_call(
     )(tile_starts, out_starts, packed, fwd_out, g_out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def render_tiles(
-    table, pair_dummy, gid_sorted, tile_starts, out_starts,
+    table, pair_dummy, gid_sorted, row_order, tile_starts, out_starts,
     offsets, counts, num_tiles, ntx, nty, tile, chunk,
     want_depth_grad=True, want_absgrad=True,
 ):
@@ -484,33 +484,42 @@ def render_tiles(
       pair_dummy: [C*N, 2] f32 — **must be zeros**: a gradient tap whose
         cotangent is the per-gaussian sum of |dmx|, |dmy| over its pairs
         (the JAX equivalent of gsplat's absgrad densification signal).
-      gid_sorted / tile_starts / out_starts / offsets / counts:
+      gid_sorted / row_order / tile_starts / out_starts / offsets / counts:
         binning arrays (tiles.bin_gaussians output), non-differentiable.
+        row_order (size C*N, or size 0 = disabled) physically reorders the
+        table by center tile before the pair gather for access locality;
+        gid_sorted must then be in rank space (bin_gaussians does both).
     Returns:
       out [num_tiles, OUT_ROWS, tile*tile] f32 (rows: r, g, b, acc, depth,
       T_final, chunks-processed; the last two rows are non-differentiable
       bookkeeping).
     """
     return _render_fwd(
-        table, pair_dummy, gid_sorted, tile_starts, out_starts,
+        table, pair_dummy, gid_sorted, row_order, tile_starts, out_starts,
         offsets, counts, num_tiles, ntx, nty, tile, chunk,
         want_depth_grad, want_absgrad,
     )[0]
 
 
 def _render_fwd(
-    table, pair_dummy, gid_sorted, tile_starts, out_starts,
+    table, pair_dummy, gid_sorted, row_order, tile_starts, out_starts,
     offsets, counts, num_tiles, ntx, nty, tile, chunk,
     want_depth_grad=True, want_absgrad=True,
 ):
     del pair_dummy  # zeros by contract; see docstring
+    if row_order.shape[0]:
+        # Locality permutation: one contiguous-index row gather of [C*N]
+        # rows makes the (much larger) per-pair gather read near-contiguous
+        # rows. The custom bwd is unaffected: records carry ORIGINAL gids,
+        # so dtable lands in original row order, matching the table operand.
+        table = jnp.take(table, row_order, axis=0)
     # XLA fuses the transpose into the gather, producing the attribute-major
     # physical layout directly (minor dim = pairs, no lane padding).
     packed = jnp.transpose(jnp.take(table, gid_sorted, axis=0, mode="clip"))
     out = _composite_fwd_call(
         packed, tile_starts, num_tiles, ntx, nty, tile, chunk
     )
-    res = (packed, tile_starts, out_starts, offsets, counts, out)
+    res = (packed, row_order, tile_starts, out_starts, offsets, counts, out)
     return out, res
 
 
@@ -518,7 +527,8 @@ def _render_bwd(
     num_tiles, ntx, nty, tile, chunk, want_depth_grad, want_absgrad,
     res, g_out,
 ):
-    packed, tile_starts, out_starts, offsets, counts, out = res
+    packed, row_order, tile_starts, out_starts, offsets, counts, out = res
+    row_order_shape = row_order.shape
     pair_cap = packed.shape[1]
     cap_pad = padded_capacity(pair_cap, num_tiles, chunk)
     records = _composite_bwd_call(
@@ -564,6 +574,7 @@ def _render_bwd(
         dtable,
         dpair_dummy,
         f0((pair_cap,)),  # gid_sorted
+        f0(row_order_shape),  # row_order
         f0(tile_starts.shape),
         f0(out_starts.shape),
         f0(offsets.shape),

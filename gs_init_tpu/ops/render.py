@@ -58,6 +58,7 @@ def rasterize(
     pair_dummy: Optional[jnp.ndarray] = None,  # [C*N, 2] zeros; absgrad tap
     impl: str = "auto",
     pixel_chunk: int = 4096,
+    reorder_table: bool = False,
 ):
     """Render gaussians. Returns (render [C,H,W,3|4], alpha [C,H,W,1], info).
 
@@ -121,6 +122,7 @@ def rasterize(
             tile_size,
             pair_capacity,
             chunk=chunk_size,
+            reorder_rows=reorder_table,
         )
         table = pack_table(
             means2d, proj.conics, proj.opacities, cam_colors, proj.depths
@@ -135,6 +137,7 @@ def rasterize(
             table,
             pair_dummy,
             binning.gid_sorted,
+            binning.row_order,
             binning.tile_starts,
             binning.out_starts,
             binning.gauss_offsets,

@@ -167,6 +167,7 @@ def make_sharded_train_step(
             binning = bin_gaussians(
                 means2d, radii, depths, width, height,
                 cfg.tile_size, cfg.pair_capacity, chunk=cfg.chunk_size,
+                reorder_rows=getattr(cfg, "reorder_table", False),
             )
             overflow = binning.overflow
             pairs = binning.tile_starts[-1]
@@ -179,7 +180,8 @@ def make_sharded_train_step(
             )
             out = render_tiles(
                 table, pd,
-                binning.gid_sorted, binning.tile_starts, binning.out_starts,
+                binning.gid_sorted, binning.row_order,
+                binning.tile_starts, binning.out_starts,
                 binning.gauss_offsets, binning.gauss_counts,
                 num_tiles, binning.num_tiles_x, binning.num_tiles_y,
                 cfg.tile_size, cfg.chunk_size, want_depth, use_absgrad,
@@ -496,6 +498,7 @@ def make_band_sharded_train_step(
             binning = bin_gaussians(
                 means2d_b, radii_b, depths, width, band_h,
                 cfg.tile_size, cfg.pair_capacity, chunk=cfg.chunk_size,
+                reorder_rows=getattr(cfg, "reorder_table", False),
             )
             overflow = binning.overflow
             pairs = binning.tile_starts[-1]
@@ -508,7 +511,8 @@ def make_band_sharded_train_step(
             )
             out = render_tiles(
                 table, pd,
-                binning.gid_sorted, binning.tile_starts, binning.out_starts,
+                binning.gid_sorted, binning.row_order,
+                binning.tile_starts, binning.out_starts,
                 binning.gauss_offsets, binning.gauss_counts,
                 num_tiles, binning.num_tiles_x, binning.num_tiles_y,
                 cfg.tile_size, cfg.chunk_size, want_depth, use_absgrad,

@@ -1,0 +1,16 @@
+#!/bin/bash
+# A/B the flagship bench across rasterizer variants, one fresh process per
+# run (program-swap latency, PERF.md). Results append to results/ab_bench.log.
+# Usage: scripts/ab_bench.sh [label]
+cd "$(dirname "$0")/.."
+LOG=results/ab_bench.log
+mkdir -p results
+run() {
+  local name="$1"; shift
+  echo "=== $name $(date +%H:%M:%S) env: $*" | tee -a "$LOG"
+  env "$@" timeout 1800 python bench.py 2> >(tail -3 >&2) | tee -a "$LOG"
+}
+run baseline
+run reorder GS_BENCH_REORDER=1
+run chunk256 GS_BENCH_CHUNK=256
+run reorder_chunk256 GS_BENCH_REORDER=1 GS_BENCH_CHUNK=256

@@ -330,3 +330,26 @@ def test_empty_scene_pallas(rng):
     np.testing.assert_allclose(
         np.asarray(render), np.broadcast_to([1.0, 0.5, 0.25], (1, H, W, 3)), atol=1e-6
     )
+
+
+def test_reorder_table_exact(rng):
+    """reorder_table permutes the packed table for gather locality; the
+    composited output and every gradient must be EXACTLY unchanged (same
+    pairs, same order within each tile, dtable in original row order)."""
+    means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=64)
+    target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)), jnp.float32)
+
+    def loss(reorder, params):
+        m, q, s, o, c = params
+        render, alpha, _ = rasterize(
+            m, q, s, o, c, viewmats, Ks, W, H, impl="pallas",
+            pair_capacity=8192, reorder_table=reorder,
+        )
+        return jnp.mean((render - target) ** 2) + 0.1 * jnp.mean(alpha)
+
+    params = (means, quats, scales, opac, colors)
+    l0, g0 = jax.value_and_grad(lambda p: loss(False, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(True, p))(params)
+    assert float(l0) == float(l1)
+    for a, b in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
