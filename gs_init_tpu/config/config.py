@@ -292,6 +292,9 @@ class Config:
     # so the per-pair pack gather reads near-contiguous rows (HBM access
     # locality) at the cost of one extra [C*N]-row gather + rank remap.
     reorder_table: bool = False
+    # Pack the backward gradient-record sort's payload columns as bf16
+    # pairs (half the sort traffic; ~0.2% per-pair gradient rounding noise).
+    sort_bf16: bool = False
     # Use the Pallas tile kernel ("pallas") or the pure-XLA reference
     # compositor ("xla", used on CPU/tests and tiny scenes).
     rasterizer_impl: Literal["auto", "pallas", "xla"] = "auto"

@@ -103,6 +103,7 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
         pair_capacity=cfg.pair_capacity,
         chunk_size=cfg.chunk_size,
         reorder_table=getattr(cfg, "reorder_table", False),
+        sort_bf16=getattr(cfg, "sort_bf16", False),
         impl=cfg.rasterizer_impl,
         render_mode="RGB+ED" if cfg.depth_loss else "RGB",
     )

@@ -59,6 +59,7 @@ def rasterize(
     impl: str = "auto",
     pixel_chunk: int = 4096,
     reorder_table: bool = False,
+    sort_bf16: bool = False,
 ):
     """Render gaussians. Returns (render [C,H,W,3|4], alpha [C,H,W,1], info).
 
@@ -149,6 +150,7 @@ def rasterize(
             chunk_size,
             render_mode == "RGB+ED",
             want_absgrad,
+            sort_bf16,
         )
         color, alpha, depth_acc = unpack_tiles(
             out, num_cams, binning.num_tiles_x, binning.num_tiles_y,

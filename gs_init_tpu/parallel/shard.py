@@ -185,6 +185,7 @@ def make_sharded_train_step(
                 binning.gauss_offsets, binning.gauss_counts,
                 num_tiles, binning.num_tiles_x, binning.num_tiles_y,
                 cfg.tile_size, cfg.chunk_size, want_depth, use_absgrad,
+                getattr(cfg, "sort_bf16", False),
             )
             color, alpha, depth_acc = unpack_tiles(
                 out, c_local, binning.num_tiles_x, binning.num_tiles_y,
@@ -516,6 +517,7 @@ def make_band_sharded_train_step(
                 binning.gauss_offsets, binning.gauss_counts,
                 num_tiles, binning.num_tiles_x, binning.num_tiles_y,
                 cfg.tile_size, cfg.chunk_size, want_depth, use_absgrad,
+                getattr(cfg, "sort_bf16", False),
             )
             color, alpha, depth_acc = unpack_tiles(
                 out, c, binning.num_tiles_x, binning.num_tiles_y,

@@ -353,3 +353,29 @@ def test_reorder_table_exact(rng):
     assert float(l0) == float(l1)
     for a, b in zip(g0, g1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sort_bf16_grads_close(rng):
+    """bf16-packed record sort rounds per-pair gradient terms to bf16
+    before the per-gaussian sum — values must stay within bf16-grade
+    relative error of the exact path."""
+    means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=64)
+    target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)), jnp.float32)
+
+    def loss(bf16, params):
+        m, q, s, o, c = params
+        render, alpha, _ = rasterize(
+            m, q, s, o, c, viewmats, Ks, W, H, impl="pallas",
+            pair_capacity=8192, sort_bf16=bf16,
+        )
+        return jnp.mean((render - target) ** 2) + 0.1 * jnp.mean(alpha)
+
+    params = (means, quats, scales, opac, colors)
+    l0, g0 = jax.value_and_grad(lambda p: loss(False, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(True, p))(params)
+    assert float(l0) == float(l1)  # forward identical
+    for name, a, b in zip(["means", "quats", "scales", "opac", "colors"], g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all(), name
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=1.5e-2, err_msg=name)
