@@ -214,3 +214,41 @@ def test_scale_clamp_quantile():
     # Non-outlier scales below the quantile are untouched.
     inner = np.exp(s_raw) <= q
     np.testing.assert_allclose(s_clamp[inner], s_raw[inner], rtol=1e-6)
+
+
+def test_train_step_perf_flags(rng):
+    """The product train step with reorder_table + sort_bf16 enabled runs
+    the pallas path and produces a loss/gradients close to the plain step."""
+    from gs_init_tpu.config import Config
+
+    def run(**flags):
+        scene = make_scene(n_gaussians=24, n_cams=2, width=64, height=48)
+        cfg = Config(
+            max_steps=10, sh_degree=1, max_gaussians=32,
+            pair_capacity=1 << 12, rasterizer_impl="pallas", **flags,
+        )
+        gstate = init_from_points(
+            jnp.asarray(scene.points[:24]), jnp.asarray(scene.rgbs[:24]), 32, 1
+        )
+        adam = init_adam_state(gstate.params)
+        acfg = make_adam_config(cfg, scene.scene_scale)
+        sstate = dstrat.init_state(32)
+        aux = AuxParams()
+        aux_opt = init_aux_opt(aux)
+        step_fn = make_train_step(cfg, acfg, 64, 48)
+        batch = Batch(
+            camtoworlds=jnp.asarray(scene.camtoworlds[:1]),
+            Ks=jnp.asarray(scene.Ks[:1]),
+            pixels=jnp.asarray(scene.images[:1]),
+            image_ids=jnp.asarray([0]),
+        )
+        gstate2, *_, metrics = step_fn(
+            gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0),
+            jax.random.PRNGKey(0),
+        )
+        return float(metrics["loss"]), np.asarray(gstate2.params.means)
+
+    l0, m0 = run()
+    l1, m1 = run(reorder_table=True, sort_bf16=True)
+    assert l0 == l1  # forward identical (flags only touch gather/bwd-sort)
+    np.testing.assert_allclose(m1, m0, rtol=0, atol=5e-6)  # post-Adam means
