@@ -287,7 +287,14 @@ def segment_reduce_presort(
     where empty segments automatically difference to zero.
     """
     pair_cap = dpre.shape[1]
-    cum = jnp.cumsum(dpre, axis=1)
+    # GS_SEGRED=assoc switches the prefix-sum lowering (hardware A/B knob:
+    # associative_scan blocks the scan, cumsum lowers to log shifted adds).
+    import os as _os
+
+    if _os.environ.get("GS_SEGRED") == "assoc":
+        cum = jax.lax.associative_scan(jnp.add, dpre, axis=1)
+    else:
+        cum = jnp.cumsum(dpre, axis=1)
     # hi[g] = sum of the first (offsets[g] + counts[g]) elements; then
     # hi[g-1] = sum of the first offsets[g] elements, so the difference is
     # exactly segment g (empty segments difference to zero).
