@@ -163,6 +163,12 @@ def main():
     ap.add_argument(
         "--scenario", choices=["clustered", "blanket"], default="clustered"
     )
+    ap.add_argument(
+        "--only", choices=["sfm", "monocular_depth"], default=None,
+        help="run just one arm; the other arm's stats are merged from the "
+        "existing <out>/<init>/stats/val_step<steps>.json if present "
+        "(resume after an interrupted run)",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -175,6 +181,13 @@ def main():
     results = {}
     for init_type in ["sfm", "monocular_depth"]:
         rdir = os.path.join(args.out, init_type)
+        if args.only and init_type != args.only:
+            prior = os.path.join(rdir, "stats", f"val_step{args.steps}.json")
+            if os.path.exists(prior):
+                with open(prior) as f:
+                    results[init_type] = json.load(f)
+                print(f"=== {init_type}: reusing {prior} ===", flush=True)
+            continue
         print(f"=== {init_type} init, {args.steps} steps ===", flush=True)
         results[init_type] = run(init_type, data_dir, scene, args.steps, rdir)
         print(json.dumps(results[init_type], indent=2, default=float), flush=True)
