@@ -35,6 +35,7 @@ gsplat: alpha clamp at 0.999, skip below 1/255, termination at T < 1e-4.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Tuple
 
 import jax
@@ -83,8 +84,25 @@ def _prefix_scan(x, *, reverse: bool = False, exclusive: bool = False):
     logs (~2^-9 rel) compounds to percent-level weight error under deep
     near-opaque stacks, and a Precision.HIGHEST matmul costs 6 bf16 passes.
     log2(chunk) shifted VPU adds are exact f32 and stay off the MXU.
+
+    GS_SCAN=trimat restores the v1 triangular-matmul lowering (hardware
+    A/B knob; also the fallback if the shifted-add scan ever misbehaves
+    under Mosaic): same math, Precision.HIGHEST MXU contraction against an
+    iota-comparison mask.
     """
     n, p = x.shape
+    if _os.environ.get("GS_SCAN") == "trimat":
+        r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)  # output index
+        c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)  # input index
+        if reverse:
+            keep = (c > r) if exclusive else (c >= r)
+        else:
+            keep = (c < r) if exclusive else (c <= r)
+        return jax.lax.dot_general(
+            keep.astype(x.dtype), x, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
     zrow = jnp.zeros((1, p), x.dtype)
     s = x
     k = 1

@@ -17,3 +17,4 @@ run reorder_chunk256 GS_BENCH_REORDER=1 GS_BENCH_CHUNK=256
 run sortbf16 GS_BENCH_SORT_BF16=1
 run all_on GS_BENCH_REORDER=1 GS_BENCH_CHUNK=256 GS_BENCH_SORT_BF16=1
 run segred_assoc GS_SEGRED=assoc
+run scan_trimat GS_SCAN=trimat

@@ -379,3 +379,36 @@ def test_sort_bf16_grads_close(rng):
         assert np.isfinite(b).all(), name
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / scale, a / scale, atol=1.5e-2, err_msg=name)
+
+
+def test_scan_trimat_matches(rng, monkeypatch):
+    """GS_SCAN=trimat (v1 triangular-matmul prefix lowering) must agree
+    with the default Hillis-Steele scan. Env knobs are read at trace time,
+    so the jit caches must be cleared between variants."""
+    means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=64)
+    target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)), jnp.float32)
+
+    def loss(params):
+        m, q, s, o, c = params
+        render, alpha, _ = rasterize(
+            m, q, s, o, c, viewmats, Ks, W, H, impl="pallas",
+            pair_capacity=8192,
+        )
+        return jnp.mean((render - target) ** 2) + 0.1 * jnp.mean(alpha)
+
+    params = (means, quats, scales, opac, colors)
+    jax.clear_caches()
+    l0, g0 = jax.value_and_grad(loss)(params)
+    l0, g0 = float(l0), jax.tree.map(np.asarray, g0)
+    monkeypatch.setenv("GS_SCAN", "trimat")
+    jax.clear_caches()
+    l1, g1 = jax.value_and_grad(loss)(params)
+    monkeypatch.delenv("GS_SCAN")
+    jax.clear_caches()
+    # On CPU both lowerings are exact f32 sums of the same terms in the
+    # same order-of-magnitude regime; tolerances cover reassociation.
+    np.testing.assert_allclose(float(l1), l0, rtol=1e-6)
+    for name, a, b in zip(["means", "quats", "scales", "opac", "colors"], g0, g1):
+        b = np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5, err_msg=name)
