@@ -197,8 +197,11 @@ class MonocularDepthInitConfig:
     # Depth-gradient mask: drop pixels with steep depth gradient (edges).
     depth_gradient_mask: bool = False
     depth_gradient_threshold: float = 0.1
-    # Union SfM points into the init cloud (reference mono..init.py:179-181).
-    include_sfm_points: bool = False
+    # Union SfM points into the init cloud (reference mono..init.py:179-181;
+    # the reference DEFAULTS this on, config.py:38 — the exact SfM points
+    # anchor the well-reconstructed regions while the depth cloud fills the
+    # rest).
+    include_sfm_points: bool = True
     # Per-image gaussian noise fraction of scene scale (fault injection).
     noise_frac: float = 0.0
     # Export the merged init cloud as PLY and exit (reference pts_only).
