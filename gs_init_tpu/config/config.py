@@ -79,7 +79,9 @@ class RansacConfig:
 @dataclass(eq=False)
 class InterpolatedAlignmentConfig:
     prealign: Literal["ransac", "msac", "lstsqrs"] = "ransac"
-    method: Literal["rbf", "delaunay"] = "rbf"
+    # "delaunay" is the reference's "linear" (scipy LinearNDInterpolator);
+    # the reference defaults to it (depth_alignment/config.py InterpConfig).
+    method: Literal["rbf", "delaunay"] = "delaunay"
     rbf_grid_width: int = 256
     lof_neighbors: int = 20
     lof_threshold: float = 1.5
@@ -95,7 +97,9 @@ class SegmentationConfig:
     # Region merging thresholds (reference region_merging.py / config.py:97-98).
     merge_gradient_threshold: float = 5e-4
     merge_min_sfm_points: int = 5
-    region_margin: float = 0.0
+    # Reference default 10 (DepthSegmentationConfig.region_margin), scaled
+    # by max(H, W)/1297 at use; inert while segmentation.method is None.
+    region_margin: float = 10.0
     # SAM segmenter (reference SAMSegmentationconfig defaults,
     # depth_alignment/config.py:55-76); weights-gated on a local checkpoint.
     sam_variant: Literal["vit_b", "vit_l", "vit_h"] = "vit_h"
@@ -133,7 +137,10 @@ class AdaptiveSubsamplingConfig:
 
 @dataclass(eq=False)
 class SfmPointsMaskConfig:
-    enabled: bool = False
+    # The reference defaults this mask ON (use_num_sfm_points_mask=True,
+    # config.py:47): patches already dense with SfM points contribute no
+    # depth points, avoiding redundant gaussians in well-covered regions.
+    enabled: bool = True
     patches_per_image_side: int = 20
     max_sfm_points_per_patch: int = 15
 
@@ -181,7 +188,7 @@ class MonocularDepthInitConfig:
         "moge",
         "unidepth",
         "depth_pro",
-    ] = "depth_anything_v2"
+    ] = "metric3d"  # reference default (config.py:29)
     # Predictor backbone, e.g. vits/vitb/vitl for DA-V2, small/large for M3D.
     backbone: str = "vits"
     # Metric vs relative depth output for DA-V2.
