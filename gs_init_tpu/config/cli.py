@@ -82,8 +82,120 @@ def _field_type(obj, name: str):
     raise AttributeError(f"{type(obj).__name__} has no field {name!r}")
 
 
+# Reference-flag compatibility: a user of the reference
+# (deivse/3dgs_monocular_depth_init) can keep their CLI overrides verbatim.
+# Maps reference dot-paths to ours; values are either a target path (same
+# value) or a callable (path, value) -> list[(path, value)] for renamed
+# values / inverted booleans / split knobs.
+def _subsample_factor(_, v):
+    if v == "adaptive":
+        return [("mdi.subsampling.method", "adaptive")]
+    return [("mdi.subsampling.method", "static"), ("mdi.subsampling.factor", v)]
+
+
+def _grad_mask_thresh(_, v):
+    if v.lower() in ("none", "null"):
+        return [("mdi.depth_gradient_mask", "false")]
+    return [
+        ("mdi.depth_gradient_mask", "true"),
+        ("mdi.depth_gradient_threshold", v),
+    ]
+
+
+def _limit_init_scale(_, v):
+    on = v.lower() in ("true", "1", "yes", "on")
+    return [("mdi.scale_clamp_quantile", "0.75" if on else "0.0")]
+
+
+def _noise_frac(_, v):
+    if v.lower() in ("none", "null"):
+        return [("mdi.noise_frac", "0.0")]
+    return [("mdi.noise_frac", v)]
+
+
+def _aligner(_, v):
+    return [("mdi.alignment.method", {"interp": "interpolate"}.get(v, v))]
+
+
+def _interp_method(_, v):
+    return [("mdi.alignment.interp.method", {"linear": "delaunay"}.get(v, v))]
+
+
+REFERENCE_ALIASES = {
+    "random_background": "random_bkgd",
+    "save_final_ply": "save_ply",
+    "mdi.subsample_factor": _subsample_factor,
+    "mdi.ignore_cache": lambda _, v: [
+        ("mdi.use_cache", "false" if v.lower() in ("true", "1") else "true")
+    ],
+    "mdi.noise_std_scene_frac": _noise_frac,
+    "mdi.depth_grad_mask_thresh": _grad_mask_thresh,
+    "mdi.limit_init_scale": _limit_init_scale,
+    "mdi.init_scale_clamp_quantile": "mdi.scale_clamp_quantile",
+    "mdi.use_num_sfm_points_mask": "mdi.subsampling.sfm_mask.enabled",
+    "mdi.num_sfm_points_mask.num_patches_small_axis":
+        "mdi.subsampling.sfm_mask.patches_per_image_side",
+    "mdi.num_sfm_points_mask.threshold":
+        "mdi.subsampling.sfm_mask.max_sfm_points_per_patch",
+    "mdi.adaptive_subsampling.factor_range_min":
+        "mdi.subsampling.adaptive.min_stride",
+    "mdi.adaptive_subsampling.factor_range_max":
+        "mdi.subsampling.adaptive.max_stride",
+    "mdi.alignment.aligner": _aligner,
+    "mdi.alignment.segmenter": "mdi.alignment.segmentation.method",
+    "mdi.alignment.interp.method": _interp_method,
+    "mdi.alignment.interp.init": "mdi.alignment.interp.prealign",
+    "mdi.alignment.ransac.max_iters": "mdi.alignment.ransac.max_iterations",
+    "mdi.alignment.segmentation.min_border_grad_threshold":
+        "mdi.alignment.segmentation.merge_gradient_threshold",
+    "mdi.alignment.segmentation.min_sfm_pts_in_region":
+        "mdi.alignment.segmentation.merge_min_sfm_points",
+    "mdi.alignment.segmentation.sam.use_normals":
+        "mdi.alignment.segmentation.sam_use_normals",
+    "mdi.alignment.segmentation.sam.degenerate_mask_thresh":
+        "mdi.alignment.segmentation.sam_degenerate_mask_thresh",
+    "mdi.alignment.segmentation.sam.expansion_radius":
+        "mdi.alignment.segmentation.sam_expansion_radius",
+    "mdi.alignment.segmentation.sam.tiny_region_area_fraction":
+        "mdi.alignment.segmentation.sam_tiny_region_area_fraction",
+    "mdi.alignment.segmentation.slic.num_regions":
+        "mdi.alignment.segmentation.slic_n_segments",
+    "mdi.alignment.segmentation.slic.compactness":
+        "mdi.alignment.segmentation.slic_compactness",
+    "mdi.postprocess.outlier_removal": lambda _, v: [
+        ("mdi.postprocess.lof_outlier_removal",
+         "true" if v == "lof" else "false")
+    ],
+    "mdi.postprocess.lof_num_neighbors": "mdi.postprocess.lof_neighbors",
+    "mdi.postprocess.subsample": "mdi.postprocess.merge_subsample",
+    "mdi.metric3d.backbone": "mdi.backbone",
+    "mdi.depthanything.backbone": "mdi.backbone",
+    "mdi.depthanything.metric": "mdi.metric",
+    "mdi.moge.backbone": "mdi.backbone",
+    "mdi.unidepth.backbone": "mdi.backbone",
+}
+
+
 def set_by_path(cfg, path: str, value: str) -> None:
-    """Set ``cfg.a.b.c = cast(value)`` given dot path ``a.b.c``."""
+    """Set ``cfg.a.b.c = cast(value)`` given dot path ``a.b.c``.
+
+    Reference-spelled paths (REFERENCE_ALIASES) are translated first, so
+    overrides written for the reference CLI keep working verbatim.
+    """
+    alias = REFERENCE_ALIASES.get(path)
+    if alias is not None:
+        if callable(alias):
+            # Alias results are canonical paths — set them directly (an
+            # alias may legitimately emit its own spelling, e.g. the
+            # interp.method value rename; re-translating would recurse).
+            for p, v in alias(path, value):
+                _set_canonical(cfg, p, v)
+            return
+        path = alias
+    _set_canonical(cfg, path, value)
+
+
+def _set_canonical(cfg, path: str, value: str) -> None:
     parts = path.split(".")
     obj = cfg
     for p in parts[:-1]:

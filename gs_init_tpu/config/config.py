@@ -189,10 +189,13 @@ class MonocularDepthInitConfig:
         "unidepth",
         "depth_pro",
     ] = "metric3d"  # reference default (config.py:29)
-    # Predictor backbone, e.g. vits/vitb/vitl for DA-V2, small/large for M3D.
-    backbone: str = "vits"
-    # Metric vs relative depth output for DA-V2.
-    metric: bool = False
+    # Predictor backbone, e.g. vits/vitb/vitl for DA-V2, small/large for M3D
+    # (vit names map to M3D sizes in pick_model). The reference defaults
+    # every predictor's backbone to vitl (depth_prediction/configs.py).
+    backbone: str = "vitl"
+    # Metric vs relative depth output for DA-V2 (reference default True,
+    # DepthAnythingV2Config.metric).
+    metric: bool = True
     metric_variant: Literal["indoor", "outdoor"] = "indoor"
     alignment: DepthAlignmentConfig = field(default_factory=DepthAlignmentConfig)
     subsampling: DepthSubsamplingConfig = field(

@@ -133,6 +133,57 @@ def test_cli_parsing(scene_dir, tmp_path):
     assert cfg.max_steps == 500 and cfg.eval_steps == [50, 250]
 
 
+def test_cli_reference_aliases(scene_dir):
+    """Overrides written for the reference CLI work verbatim via the
+    alias layer (REFERENCE_ALIASES in config/cli.py)."""
+    from gs_init_tpu.trainer import build_presets
+    from gs_init_tpu.config import parse_cli
+
+    cfg = parse_cli(
+        [
+            "default",
+            f"--data_dir={scene_dir}",
+            "--random_background=true",
+            "--save_final_ply=false",
+            "--mdi.subsample_factor=7",
+            "--mdi.ignore_cache=true",
+            "--mdi.depth_grad_mask_thresh=0.05",
+            "--mdi.limit_init_scale=true",
+            "--mdi.use_num_sfm_points_mask=false",
+            "--mdi.alignment.aligner=interp",
+            "--mdi.alignment.interp.method=linear",
+            "--mdi.alignment.ransac.max_iters=99",
+            "--mdi.alignment.segmenter=slic",
+            "--mdi.postprocess.outlier_removal=lof",
+            "--mdi.depthanything.backbone=vitb",
+            "--mdi.noise_std_scene_frac=none",
+        ],
+        build_presets(),
+    )
+    assert cfg.random_bkgd is True
+    assert cfg.save_ply is False
+    assert cfg.mdi.subsampling.method == "static"
+    assert cfg.mdi.subsampling.factor == 7
+    assert cfg.mdi.use_cache is False
+    assert cfg.mdi.depth_gradient_mask is True
+    assert cfg.mdi.depth_gradient_threshold == 0.05
+    assert cfg.mdi.scale_clamp_quantile == 0.75
+    assert cfg.mdi.subsampling.sfm_mask.enabled is False
+    assert cfg.mdi.alignment.method == "interpolate"
+    assert cfg.mdi.alignment.interp.method == "delaunay"
+    assert cfg.mdi.alignment.ransac.max_iterations == 99
+    assert cfg.mdi.alignment.segmentation.method == "slic"
+    assert cfg.mdi.postprocess.lof_outlier_removal is True
+    assert cfg.mdi.backbone == "vitb"
+    assert cfg.mdi.noise_frac == 0.0
+    # adaptive spelling of the union-typed reference knob
+    cfg2 = parse_cli(
+        ["default", f"--data_dir={scene_dir}", "--mdi.subsample_factor=adaptive"],
+        build_presets(),
+    )
+    assert cfg2.mdi.subsampling.method == "adaptive"
+
+
 def test_auto_pair_capacity(scene_dir, tmp_path):
     """The runner shrinks a grossly oversized pair capacity after step 0."""
     cfg = _cfg(
