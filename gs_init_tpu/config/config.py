@@ -272,6 +272,9 @@ class Config:
     depth_loss: bool = False
     depth_lambda: float = 1e-2
     random_bkgd: bool = False
+    # Fixed composite background (reference Config.background_color; the
+    # blender dataset preset sets white). Ignored when random_bkgd is on.
+    background_color: Optional[Tuple[float, float, float]] = None
 
     # Model
     sh_degree: int = 3

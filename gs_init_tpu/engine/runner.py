@@ -510,6 +510,11 @@ class Runner:
             masks=(
                 jnp.asarray(masks)[None] if masks is not None else None
             ),
+            backgrounds=(
+                jnp.asarray([self.cfg.background_color], jnp.float32)
+                if self.cfg.background_color is not None
+                else None
+            ),
             render_mode=render_mode,
             camera_model=self.cfg.camera_model,
             tile_size=self.cfg.tile_size,

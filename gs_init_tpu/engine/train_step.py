@@ -121,6 +121,12 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
         bkgd = None
         if cfg.random_bkgd:
             bkgd = jax.random.uniform(key, (batch.pixels.shape[0], 3))
+        elif getattr(cfg, "background_color", None) is not None:
+            # Fixed background (reference method.py:453-456 injection).
+            bkgd = jnp.tile(
+                jnp.asarray(cfg.background_color, jnp.float32)[None],
+                (batch.pixels.shape[0], 1),
+            )
 
         if cfg.app_opt and aux.app is not None:
             centers = c2w[:, :3, 3]

@@ -70,7 +70,8 @@ def _quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 DATASET_PRESETS: Dict[str, Dict[str, str]] = {
     # Reference method_spec.py:5-65 presets.
-    "blender": {"init_type": "random", "random_bkgd": "true"},
+    # Reference method_spec.py:34-37: random init + WHITE background.
+    "blender": {"init_type": "random", "background_color": "(1.0,1.0,1.0)"},
     "phototourism": {"app_opt": "true", "max_steps": "100000"},
 }
 

@@ -120,6 +120,11 @@ def make_sharded_train_step(
             bkgd = jax.lax.dynamic_slice_in_dim(
                 full, di * c_local, c_local, axis=0
             )
+        elif getattr(cfg, "background_color", None) is not None:
+            bkgd = jnp.tile(
+                jnp.asarray(cfg.background_color, jnp.float32)[None],
+                (c_local, 1),
+            )
 
         proj = project_gaussians(
             params.means, params.quats, scales, opacities,
@@ -441,6 +446,10 @@ def make_band_sharded_train_step(
         bkgd = None
         if cfg.random_bkgd:
             bkgd = jax.random.uniform(key, (c, 3))  # replicated draw
+        elif getattr(cfg, "background_color", None) is not None:
+            bkgd = jnp.tile(
+                jnp.asarray(cfg.background_color, jnp.float32)[None], (c, 1)
+            )
 
         proj = project_gaussians(
             params.means, params.quats, scales, opacities,

@@ -252,3 +252,59 @@ def test_train_step_perf_flags(rng):
     l1, m1 = run(reorder_table=True, sort_bf16=True)
     assert l0 == l1  # forward identical (flags only touch gather/bwd-sort)
     np.testing.assert_allclose(m1, m0, rtol=0, atol=5e-6)  # post-Adam means
+
+
+def test_background_color(rng):
+    """cfg.background_color composites a fixed background into the train
+    render (reference method.py:453-456) and into Runner-style rasterize
+    renders; the loss must differ from the no-background step on a scene
+    with uncovered pixels."""
+    from gs_init_tpu.config import Config
+    from gs_init_tpu.ops.render import rasterize
+
+    scene = make_scene(n_gaussians=8, n_cams=2, width=64, height=48)
+
+    def run(bg):
+        cfg = Config(
+            max_steps=4, sh_degree=1, max_gaussians=16,
+            pair_capacity=1 << 12, rasterizer_impl="pallas",
+            background_color=bg,
+        )
+        gstate = init_from_points(
+            jnp.asarray(scene.points[:8]), jnp.asarray(scene.rgbs[:8]), 16, 1
+        )
+        adam = init_adam_state(gstate.params)
+        acfg = make_adam_config(cfg, scene.scene_scale)
+        sstate = dstrat.init_state(16)
+        aux = AuxParams()
+        aux_opt = init_aux_opt(aux)
+        step_fn = make_train_step(cfg, acfg, 64, 48)
+        batch = Batch(
+            camtoworlds=jnp.asarray(scene.camtoworlds[:1]),
+            Ks=jnp.asarray(scene.Ks[:1]),
+            pixels=jnp.asarray(scene.images[:1]),
+            image_ids=jnp.asarray([0]),
+        )
+        *_, metrics = step_fn(
+            gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0),
+            jax.random.PRNGKey(0),
+        )
+        return float(metrics["loss"])
+
+    assert run((1.0, 1.0, 1.0)) != run(None)
+    # Uncovered pixels render exactly the background color.
+    r, a, _ = rasterize(
+        jnp.asarray(scene.points[:8]), jnp.ones((8, 4), jnp.float32),
+        jnp.full((8, 3), 0.01, jnp.float32), jnp.full((8,), 0.9, jnp.float32),
+        jnp.asarray(scene.rgbs[:8]),
+        jnp.linalg.inv(jnp.asarray(scene.camtoworlds[:1])),
+        jnp.asarray(scene.Ks[:1]), 64, 48, impl="pallas",
+        pair_capacity=1 << 12,
+        backgrounds=jnp.asarray([[0.25, 0.5, 0.75]], jnp.float32),
+    )
+    empty = np.asarray(a[0, ..., 0]) < 1e-6
+    assert empty.any()
+    np.testing.assert_allclose(
+        np.asarray(r)[0][empty], np.tile([[0.25, 0.5, 0.75]], (empty.sum(), 1)),
+        atol=1e-6,
+    )
