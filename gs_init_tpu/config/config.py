@@ -217,6 +217,12 @@ class MonocularDepthInitConfig:
     # Export the merged init cloud as PLY and exit (reference pts_only).
     pts_only: bool = False
     export_ply: bool = False
+    # Directory for exported init point clouds (reference pts_output_dir;
+    # None = cfg.result_dir). Setting it implies the merged-cloud export.
+    pts_output_dir: Optional[str] = None
+    # Additionally write one PLY per source image (reference
+    # pts_output_per_image).
+    pts_output_per_image: bool = False
     # On-disk depth cache directory (resumable memo of the expensive stage).
     cache_dir: str = "__mono_depth_cache__"
     use_cache: bool = True
@@ -349,6 +355,10 @@ class Config:
     app_opt_reg: float = 1e-6
 
     # Bilateral grid
+    # Test-time per-image appearance-embedding fit (reference Config
+    # app_test_opt_steps/app_test_opt_lr; integration optimize_embedding).
+    app_test_opt_steps: int = 128
+    app_test_opt_lr: float = 0.1
     use_bilateral_grid: bool = False
     bilateral_grid_shape: Tuple[int, int, int] = (16, 16, 8)
     tv_lambda: float = 10.0

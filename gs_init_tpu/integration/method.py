@@ -227,12 +227,17 @@ class GsInitTpuMethod:
         image: np.ndarray,  # [H, W, 3] float
         camtoworld: np.ndarray,
         K: np.ndarray,
-        n_steps: int = 128,
-        lr: float = 0.1,
+        n_steps: Optional[int] = None,
+        lr: Optional[float] = None,
     ) -> np.ndarray:
         """Fit a fresh per-image appearance embedding on a held-out view
         (test-time adaptation, reference method.py:779-865). Requires
-        cfg.app_opt."""
+        cfg.app_opt. Defaults come from cfg.app_test_opt_steps / _lr
+        (reference Config fields)."""
+        if n_steps is None:
+            n_steps = getattr(self.cfg, "app_test_opt_steps", 128)
+        if lr is None:
+            lr = getattr(self.cfg, "app_test_opt_lr", 0.1)
         if self.runner.aux.app is None:
             raise RuntimeError("optimize_embedding requires app_opt=true")
         runner = self.runner

@@ -212,6 +212,17 @@ def pts_and_rgb_from_monocular_depth(
                 ).astype(np.float32)
             all_pts.append(pts)
             all_rgbs.append(rgb)
+            if mdi.pts_output_per_image:
+                from ..utils.ply import write_ply_points
+
+                d = mdi.pts_output_dir or cfg.result_dir
+                os.makedirs(d, exist_ok=True)
+                write_ply_points(
+                    os.path.join(
+                        d, f"mdi_{os.path.splitext(it['image_name'])[0]}.ply"
+                    ),
+                    pts, rgb,
+                )
 
     if not all_pts:
         raise LowDepthAlignmentConfidenceError(
@@ -241,11 +252,12 @@ def pts_and_rgb_from_monocular_depth(
     hs = [parser.images[int(i)].height for i in parser.split_indices("train")]
     pts, rgbs = postprocess_point_cloud(cfg, pts, rgbs, vms, Kmats, ws, hs)
 
-    if mdi.export_ply or mdi.pts_only:
+    if mdi.export_ply or mdi.pts_only or mdi.pts_output_dir:
         from ..utils.ply import write_ply_points
 
-        os.makedirs(cfg.result_dir, exist_ok=True)
-        out = os.path.join(cfg.result_dir, "mdi_init_points.ply")
+        out_dir = mdi.pts_output_dir or cfg.result_dir
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, "mdi_init_points.ply")
         write_ply_points(out, pts, rgbs)
         _LOGGER.info("exported init point cloud to %s", out)
         if mdi.pts_only:
