@@ -251,6 +251,17 @@ class Dataset:
         pim = self.parser.images[int(self.indices[i])]
         img = _imread(pim.path).astype(np.float32) / 255.0
         img, K = self._undistort(img, pim)
+        if self.patch_size:
+            # Random square crop with principal-point shift (reference
+            # colmap.py Dataset.__getitem__ patch_size path). Fixed crop
+            # size keeps the train step's shapes static.
+            p = min(self.patch_size, img.shape[0], img.shape[1])
+            y0 = np.random.randint(0, img.shape[0] - p + 1)
+            x0 = np.random.randint(0, img.shape[1] - p + 1)
+            img = img[y0 : y0 + p, x0 : x0 + p]
+            K = K.copy()
+            K[0, 2] -= x0
+            K[1, 2] -= y0
         out = dict(
             K=K.astype(np.float32),
             camtoworld=pim.camtoworld.astype(np.float32),

@@ -81,7 +81,8 @@ class Runner:
             )
         self.parser = parser
         self.trainset = trainset or Dataset(
-            self.parser, "train", load_depths=cfg.depth_loss
+            self.parser, "train", load_depths=cfg.depth_loss,
+            patch_size=cfg.patch_size,
         )
         self.valset = valset or Dataset(self.parser, "val")
         self.scene_scale = self.parser.scene_scale * 1.1 * cfg.global_scale

@@ -198,3 +198,21 @@ def test_auto_pair_capacity(scene_dir, tmp_path):
     m = runner.train_iteration(1)
     assert np.isfinite(m["loss"])
     assert int(m["overflow"]) == 0
+
+
+def test_patch_size_training(scene_dir, tmp_path):
+    """cfg.patch_size random-crops the train batch to static [P, P] shapes
+    with a matching principal-point shift (reference colmap.py Dataset
+    patch_size path); eval stays full-resolution."""
+    cfg = _cfg(
+        scene_dir, tmp_path, max_steps=3, eval_steps=[3], save_steps=[3],
+        patch_size=16,
+    )
+    runner = Runner(cfg)
+    assert (runner.height, runner.width) == (16, 16)
+    item = runner.trainset[0]
+    assert item["image"].shape[:2] == (16, 16)
+    full = runner.valset[0]["image"].shape[:2]
+    assert full != (16, 16)
+    m = runner.train_iteration(0)
+    assert np.isfinite(m["loss"])
