@@ -89,4 +89,5 @@ def test_dataset_presets(scene_dir, tmp_path):
         },
     )
     assert m.cfg.init_type == "random"
-    assert m.cfg.random_bkgd is True
+    # Reference method_spec.py:34-37: blender trains over a WHITE background.
+    assert m.cfg.background_color == (1.0, 1.0, 1.0)
