@@ -521,7 +521,17 @@ class Runner:
             tile_size=self.cfg.tile_size,
             pair_capacity=self.cfg.pair_capacity,
             chunk_size=self.cfg.chunk_size,
-            impl=self.cfg.rasterizer_impl,
+            # "auto" resolves to the tile kernel even on CPU here: eval
+            # renders run at full image size, where the dense XLA oracle's
+            # O(capacity x pixels) buffers blow up (135 GB at a 131k cap
+            # and 160x120), while the forward-only interpret kernel is
+            # cheap. The train step keeps render.py's auto semantics.
+            impl=(
+                "pallas"
+                if self.cfg.rasterizer_impl == "auto"
+                and jax.default_backend() == "cpu"
+                else self.cfg.rasterizer_impl
+            ),
             rasterize_mode="antialiased" if self.cfg.antialiased else "classic",
         )
         color = np.clip(np.asarray(render[0, ..., :3]), 0, 1)
