@@ -86,7 +86,7 @@ def _gt_depth_oracle(scene, parser):
     return StubPredictor(oracle=oracle, scale=0.37, shift=1.3)
 
 
-def run(init_type, data_dir, scene, steps, result_dir):
+def run(init_type, data_dir, scene, steps, result_dir, impl="auto"):
     import jax
 
     from gs_init_tpu.config import Config
@@ -106,6 +106,11 @@ def run(init_type, data_dir, scene, steps, result_dir):
         save_steps=[steps],
         tb_every=200,
     )
+    # CPU smoke runs must pin --impl=pallas: "auto" trains through the XLA
+    # oracle on CPU, whose lax.map backward stacks O(capacity x pixels)
+    # residuals (135 GB at a 131k cap and 160x120, surfacing only at the
+    # first async-dispatch fetch).
+    cfg.rasterizer_impl = impl
     # Mid-run recompiles permanently degrade latency on the axon relay
     # (PERF.md); pin a generous static pair capacity instead.
     cfg.auto_pair_capacity = False
@@ -164,6 +169,10 @@ def main():
         "--scenario", choices=["clustered", "blanket"], default="clustered"
     )
     ap.add_argument(
+        "--impl", choices=["auto", "pallas", "xla"], default="auto",
+        help="rasterizer impl; use pallas for CPU smoke runs (see run())",
+    )
+    ap.add_argument(
         "--only", choices=["sfm", "monocular_depth"], default=None,
         help="run just one arm; the other arm's stats are merged from the "
         "existing <out>/<init>/stats/val_step<steps>.json if present "
@@ -189,7 +198,9 @@ def main():
                 print(f"=== {init_type}: reusing {prior} ===", flush=True)
             continue
         print(f"=== {init_type} init, {args.steps} steps ===", flush=True)
-        results[init_type] = run(init_type, data_dir, scene, args.steps, rdir)
+        results[init_type] = run(
+            init_type, data_dir, scene, args.steps, rdir, impl=args.impl
+        )
         print(json.dumps(results[init_type], indent=2, default=float), flush=True)
 
     desc = (
