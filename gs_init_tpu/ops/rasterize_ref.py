@@ -124,7 +124,11 @@ def rasterize_reference(
             color, depth, acc, _ = composite_chunk(alpha, cols, depths, t0)
             return color, depth, acc
 
-        color, depth, acc = jax.lax.map(body, pix_padded)
+        # checkpoint: without it the VJP stacks each map iteration's
+        # residuals into full [N, H*W] arrays — 135 GB at a 131k capacity
+        # and 160x120 render. Rematerializing alpha per pixel chunk keeps
+        # backward memory at O(N x pixel_chunk).
+        color, depth, acc = jax.lax.map(jax.checkpoint(body), pix_padded)
         color = color.reshape(-1, 3)[:npix].reshape(height, width, 3)
         depth = depth.reshape(-1)[:npix].reshape(height, width)
         acc = acc.reshape(-1)[:npix].reshape(height, width)
