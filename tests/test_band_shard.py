@@ -117,6 +117,11 @@ def test_band_step_regs_and_random_bkgd():
     _assert_match(ref, sh)
 
 
+def test_band_step_background_color():
+    ref, sh = _run_pair({"background_color": (0.2, 0.4, 0.9)})
+    _assert_match(ref, sh)
+
+
 def test_band_step_depth_loss():
     def extra(scene, idx):
         rng = np.random.default_rng(0)

@@ -164,6 +164,11 @@ def test_sharded_regs_and_random_bkgd_match():
     _assert_match(ref, sh)
 
 
+def test_sharded_background_color_matches():
+    ref, sh = _run_pair({"background_color": (1.0, 1.0, 1.0)})
+    _assert_match(ref, sh)
+
+
 def test_sharded_depth_loss_matches():
     def extra(scene, idx):
         rng = np.random.default_rng(0)
