@@ -253,9 +253,17 @@ class Dataset:
         img, K = self._undistort(img, pim)
         if self.patch_size:
             # Random square crop with principal-point shift (reference
-            # colmap.py Dataset.__getitem__ patch_size path). Fixed crop
-            # size keeps the train step's shapes static.
-            p = min(self.patch_size, img.shape[0], img.shape[1])
+            # colmap.py Dataset.__getitem__ patch_size path). The crop size
+            # must be IDENTICAL for every item — the train step compiles
+            # for static shapes and batches stack — so an image smaller
+            # than the patch is a configuration error, not a clamp.
+            p = self.patch_size
+            if img.shape[0] < p or img.shape[1] < p:
+                raise ValueError(
+                    f"patch_size={p} exceeds image {pim.name} "
+                    f"({img.shape[1]}x{img.shape[0]}); lower patch_size or "
+                    "data_factor"
+                )
             y0 = np.random.randint(0, img.shape[0] - p + 1)
             x0 = np.random.randint(0, img.shape[1] - p + 1)
             img = img[y0 : y0 + p, x0 : x0 + p]

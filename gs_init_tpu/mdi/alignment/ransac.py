@@ -31,6 +31,13 @@ import jax.numpy as jnp
 from .lstsqrs import weighted_scale_shift
 
 
+def _masked_median(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Median over the valid entries (jittable: sort with +inf padding)."""
+    n = jnp.sum(valid.astype(jnp.int32))
+    s = jnp.sort(jnp.where(valid, x, jnp.inf))
+    return s[jnp.maximum(n - 1, 0) // 2]
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_hyp", "sample_size", "msac", "lo_iters")
 )
@@ -95,11 +102,25 @@ def ransac_scale_shift(
         return (
             jnp.where(better, s2, s),
             jnp.where(better, t2, t),
-            jnp.minimum(l2, best_loss),
+            # Accept-only update: best_loss must stay the loss of the held
+            # (s, t); lowering it on a rejected (s2 <= 0) refit would let a
+            # poisoned bound reject strictly better positive-scale refits.
+            jnp.where(better, l2, best_loss),
         ), None
 
     (s_fin, t_fin, _), _ = jax.lax.scan(
         lo_step, (s_best, t_best, losses[best]), None, length=lo_iters
     )
+    # Terminal fallback: if EVERY hypothesis had s <= 0 (flat predicted
+    # depth, degenerate SfM range), argmin over all-inf losses returns an
+    # arbitrary non-positive fit and the LO gate can never fix it. Fall
+    # back to the robust median-ratio alignment rather than silently
+    # returning an inverted scale.
+    gt_med = _masked_median(gt, valid)
+    pred_med = _masked_median(pred, valid)
+    s_fallback = jnp.maximum(gt_med / jnp.maximum(pred_med, 1e-12), 1e-12)
+    bad = s_fin <= 0.0
+    s_fin = jnp.where(bad, s_fallback, s_fin)
+    t_fin = jnp.where(bad, 0.0, t_fin)
     inliers = valid & ((s_fin * pred + t_fin - gt) ** 2 < inlier_threshold)
     return s_fin, t_fin, inliers

@@ -210,7 +210,21 @@ class SamMaskGenerator:
             pad = self.points_per_batch - len(batch)
             pb = np.pad(batch, ((0, pad), (0, 0)))
             points = jnp.asarray(pb, jnp.float32)[:, None, :]
-            labels = jnp.ones((len(pb), 1), jnp.int32)
+            # Official SAM appends a padding not-a-point (label -1) to
+            # every point prompt when no box is given
+            # (segment_anything PromptEncoder._embed_points pad=True);
+            # omitting it shifts the decoder token sequence and its mask
+            # outputs systematically deviate from the reference AMG.
+            points = jnp.concatenate(
+                [points, jnp.zeros_like(points)], axis=1
+            )
+            labels = jnp.concatenate(
+                [
+                    jnp.ones((len(pb), 1), jnp.int32),
+                    jnp.full((len(pb), 1), -1, jnp.int32),
+                ],
+                axis=1,
+            )
             masks, iou = self._decode(
                 self.prompt_vars, self.dec_vars, embed, points, labels
             )
@@ -376,8 +390,16 @@ def segment_depth_sam(
     depth -> viridis RGB -> AMG (+ optional normal-image AMG) -> overlap
     assignment -> expansion/CC postprocess. Returns int labels [H, W]."""
     depth = np.asarray(pred_depth, np.float32).copy()
-    lo, hi = np.quantile(depth, [0.05, 0.95])
-    depth = np.clip(depth, lo, hi)
+    # NaN/invalid-safe normalization: predictors legitimately emit
+    # non-finite depth at masked pixels (e.g. MoGe sky), which would turn
+    # np.quantile into NaN and the viridis image into garbage. Compute the
+    # quantile window over valid finite pixels only and pin invalid pixels
+    # to the window floor so they form their own uniform background region.
+    ok = np.isfinite(depth) & np.asarray(pred_mask, bool)
+    if not ok.any():
+        return np.zeros(depth.shape, np.int32)
+    lo, hi = np.quantile(depth[ok], [0.05, 0.95])
+    depth = np.where(ok, np.clip(depth, lo, hi), lo)
     rng = depth.max() - depth.min()
     depth_norm = (depth - depth.min()) / (rng + 1e-8)
 

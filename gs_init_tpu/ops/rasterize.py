@@ -287,15 +287,28 @@ def _bwd_kernel(
     # payload), else the sorted segment boundaries shift and gradients get
     # attributed to the wrong gaussians. Read the packed chunk (pure DMA,
     # no gradient compute) to recover the GID column. Double-buffered:
-    # chunk j+1's read overlaps chunk j's tag+write.
+    # chunk j+1's read is in flight while chunk j is tagged and written,
+    # and a gbuf slot is only rewritten once its j-2 write has drained.
     rows = jax.lax.broadcasted_iota(jnp.int32, (PACK_COLS, chunk), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (PACK_COLS, chunk), 1)
 
+    @pl.when(nproc < nchunks)
+    def _():
+        rdma(nproc, jax.lax.rem(nproc, 2)).start()
+
     def zbody(j, _):
         slot = jax.lax.rem(j, 2)
-        r = rdma(j, slot)
-        r.start()
-        r.wait()
+
+        @pl.when(j + 1 < nchunks)
+        def _():
+            rdma(j + 1, jax.lax.rem(j + 1, 2)).start()
+
+        rdma(j, slot).wait()
+
+        @pl.when(j - 2 >= nproc)
+        def _():
+            wdma(j - 2, slot).wait()
+
         base = c0 + j * chunk
         inr = (cols >= start - base) & (cols < end - base)
         gbuf[slot] = jnp.where(
@@ -305,12 +318,19 @@ def _bwd_kernel(
                 (rows == PACK_VALID) & inr, 1.0, 0.0
             ),
         )
-        w = wdma(j, slot)
-        w.start()
-        w.wait()
+        wdma(j, slot).start()
         return 0
 
     jax.lax.fori_loop(nproc, nchunks, zbody, 0)
+    # Drain the last (up to two) outstanding zero-record writes before the
+    # main back-to-front pass reuses the gbuf slots.
+    @pl.when(nchunks - nproc >= 2)
+    def _():
+        wdma(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
+
+    @pl.when(nchunks - nproc >= 1)
+    def _():
+        wdma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
 
     # Back-to-front traversal over the PROCESSED chunks only; reads
     # double-buffered, writes overlapped.

@@ -660,8 +660,12 @@ def make_band_sharded_train_step(
             pairs=jax.lax.pmax(auxd["pairs"], "data"),
             alpha_mean=auxd["alpha_mean"],
         )
+        # NOTE: raw dgrads is NOT returned — it is band-local (d*g-fold,
+        # differs across the data axis), so exposing it under a replicated
+        # out_spec would materialize one arbitrary band's gradient. Only
+        # the psum-reduced stats_local leaves the shard_map.
         return (
-            loss, grads, dgrads, agrads, stats_local, radii_local, l1,
+            loss, grads, agrads, stats_local, radii_local, l1,
             ssim_val, scalars,
         )
 
@@ -681,7 +685,6 @@ def make_band_sharded_train_step(
         out_specs=(
             P(),
             P("gauss"),
-            P(None, "gauss"),
             P(),
             P(None, "gauss"),  # stats (summed over bands, shard columns)
             P(None, "gauss"),  # radii
@@ -698,7 +701,7 @@ def make_band_sharded_train_step(
         aux_opt: AuxOptState, batch: Batch, step, key,
     ):
         (
-            loss, grads, dgrads, agrads, stats, radii, l1, ssim_val, scalars,
+            loss, grads, agrads, stats, radii, l1, ssim_val, scalars,
         ) = smapped(gstate.params, gstate.alive, aux, batch, step, key)
         params, adam = adam_update(gstate.params, grads, adam, acfg, step)
 

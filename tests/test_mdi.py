@@ -77,6 +77,24 @@ def test_ransac_rejects_nonpositive_scale(rng):
         assert float(s) > 0.0, f"seed {seed} returned s={float(s)}"
 
 
+def test_ransac_all_negative_fallback(rng):
+    """When EVERY hypothesis has s <= 0 (anti-correlated depths), the
+    positive-scale prior must fall back to the median-ratio alignment
+    instead of silently returning the degenerate non-positive fit."""
+    m = 64
+    d = rng.uniform(1.0, 5.0, m).astype(np.float32)
+    gt = (-0.8 * d + 6.0).astype(np.float32)  # strictly anti-correlated
+    s, t, _ = ransac_scale_shift(
+        jnp.asarray(d), jnp.asarray(gt), jnp.ones(m, bool),
+        jax.random.PRNGKey(0), num_hyp=400,
+    )
+    assert float(s) > 0.0
+    assert float(s) == pytest.approx(
+        float(np.median(gt) / np.median(d)), rel=0.1
+    )
+    assert float(t) == 0.0
+
+
 def test_msac_variant(rng):
     d = rng.uniform(1, 5, 200).astype(np.float32)
     gt = 1.5 * d - 0.2

@@ -483,6 +483,39 @@ def test_sam_segmenter_pipeline(rng, monkeypatch, tmp_path):
     S._cached_generator.cache_clear()
 
 
+def test_sam_segmenter_nan_depth(rng, monkeypatch, tmp_path):
+    """Predictors legitimately emit non-finite depth at masked pixels
+    (e.g. MoGe sky); the quantile normalization must ignore them instead
+    of poisoning the whole colormap image."""
+    monkeypatch.setenv("GS_TPU_CHECKPOINT_DIR", str(tmp_path))
+    import gs_init_tpu.mdi.segmentation_sam as S
+
+    from gs_init_tpu.config import SegmentationConfig
+
+    seg_cfg = SegmentationConfig(
+        method="sam", sam_variant="vit_b", sam_use_normals=False,
+        sam_img_size=128,
+    )
+    depth = rng.uniform(1, 5, (48, 64)).astype(np.float32)
+    mask = np.ones((48, 64), bool)
+    depth[:10] = np.nan  # sky
+    mask[:10] = False
+    S._cached_generator.cache_clear()
+    labels = S.segment_depth_sam(
+        depth, mask, None, seg_cfg, allow_random_weights=True
+    )
+    assert labels.shape == depth.shape
+    assert np.issubdtype(labels.dtype, np.integer)
+    S._cached_generator.cache_clear()
+    # Fully-invalid input degrades to a single unassigned region.
+    empty = S.segment_depth_sam(
+        np.full((8, 8), np.nan, np.float32), np.zeros((8, 8), bool),
+        None, seg_cfg, allow_random_weights=True,
+    )
+    assert (np.asarray(empty) == 0).all()
+    S._cached_generator.cache_clear()
+
+
 def test_create_segmentation_overlap_rule():
     """The reference's largest-first >75%-overlap merge (sam.py:36-66)."""
     from gs_init_tpu.mdi.segmentation_sam import create_segmentation
