@@ -126,7 +126,8 @@ REFERENCE_ALIASES = {
     "save_final_ply": "save_ply",
     "mdi.subsample_factor": _subsample_factor,
     "mdi.ignore_cache": lambda _, v: [
-        ("mdi.use_cache", "false" if v.lower() in ("true", "1") else "true")
+        ("mdi.use_cache",
+         "false" if v.lower() in ("true", "1", "yes", "on") else "true")
     ],
     "mdi.noise_std_scene_frac": _noise_frac,
     "mdi.depth_grad_mask_thresh": _grad_mask_thresh,

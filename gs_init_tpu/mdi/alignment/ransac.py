@@ -115,12 +115,17 @@ def ransac_scale_shift(
     # depth, degenerate SfM range), argmin over all-inf losses returns an
     # arbitrary non-positive fit and the LO gate can never fix it. Fall
     # back to the robust median-ratio alignment rather than silently
-    # returning an inverted scale.
-    gt_med = _masked_median(gt, valid)
-    pred_med = _masked_median(pred, valid)
-    s_fallback = jnp.maximum(gt_med / jnp.maximum(pred_med, 1e-12), 1e-12)
-    bad = s_fin <= 0.0
-    s_fin = jnp.where(bad, s_fallback, s_fin)
-    t_fin = jnp.where(bad, 0.0, t_fin)
+    # returning an inverted scale. lax.cond keeps the two O(M log M)
+    # median sorts off the common positive-scale path (this runs per
+    # region per image at init time).
+    def _fallback(_):
+        gt_med = _masked_median(gt, valid)
+        pred_med = _masked_median(pred, valid)
+        s = jnp.maximum(gt_med / jnp.maximum(pred_med, 1e-12), 1e-12)
+        return s, jnp.float32(0.0)
+
+    s_fin, t_fin = jax.lax.cond(
+        s_fin <= 0.0, _fallback, lambda _: (s_fin, t_fin), None
+    )
     inliers = valid & ((s_fin * pred + t_fin - gt) ** 2 < inlier_threshold)
     return s_fin, t_fin, inliers

@@ -217,11 +217,11 @@ def pts_and_rgb_from_monocular_depth(
 
                 d = mdi.pts_output_dir or cfg.result_dir
                 os.makedirs(d, exist_ok=True)
+                # Flatten nested image names (e.g. "rig1/cam0.png") the
+                # same way the depth cache does (_cache_path).
+                stem = os.path.splitext(it["image_name"])[0].replace("/", "_")
                 write_ply_points(
-                    os.path.join(
-                        d, f"mdi_{os.path.splitext(it['image_name'])[0]}.ply"
-                    ),
-                    pts, rgb,
+                    os.path.join(d, f"mdi_{stem}.ply"), pts, rgb
                 )
 
     if not all_pts:

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -289,8 +291,6 @@ def segment_reduce_presort(
     pair_cap = dpre.shape[1]
     # GS_SEGRED=assoc switches the prefix-sum lowering (hardware A/B knob:
     # associative_scan blocks the scan, cumsum lowers to log shifted adds).
-    import os as _os
-
     if _os.environ.get("GS_SEGRED") == "assoc":
         cum = jax.lax.associative_scan(jnp.add, dpre, axis=1)
     else:
