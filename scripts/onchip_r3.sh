@@ -3,21 +3,41 @@
 # sweep. Run as soon as the TPU relay recovers; e2e (stage 2) is launched
 # manually after reviewing the A/B results.
 #
+# The Hillis-Steele compositing scans (91c3f94) have never run on real
+# hardware. If sanity fails with the default lowering, automatically retry
+# with GS_SCAN=trimat (the hardware-proven v1 triangular-matmul lowering)
+# and, if that passes, pin it for the whole sweep — an unattended recovery
+# still yields usable data either way.
+#
 # Usage: bash scripts/onchip_r3.sh
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p results
 
+sanity() {  # sanity <logfile> [ENV=VAL ...]
+  local log="$1"; shift
+  env "$@" timeout 900 python scripts/tpu_sanity.py 2>&1 | tee "$log" \
+    && grep -q "SANITY PASS" "$log"
+}
+
 echo "=== stage 1a: on-chip sanity (Pallas vs oracle, fwd+bwd) ==="
-if ! timeout 900 python scripts/tpu_sanity.py 2>&1 | tee results/sanity_r3.log; then
-  echo "SANITY FAILED — aborting before the sweep (inspect results/sanity_r3.log)"
-  exit 1
-fi
-if ! grep -q "SANITY PASS" results/sanity_r3.log; then
-  echo "SANITY DID NOT PASS — aborting before the sweep"
-  exit 1
+SCAN_PIN=""
+if ! sanity results/sanity_r3.log; then
+  echo "SANITY FAILED with Hillis-Steele scans — retrying with GS_SCAN=trimat"
+  if sanity results/sanity_r3_trimat.log GS_SCAN=trimat; then
+    echo "trimat fallback PASSES — pinning GS_SCAN=trimat for the sweep" \
+      | tee results/SCAN_FALLBACK_NEEDED
+    SCAN_PIN="trimat"
+  else
+    echo "SANITY FAILED under both lowerings — aborting (inspect results/sanity_r3*.log)"
+    exit 1
+  fi
 fi
 
 echo "=== stage 1b: flag A/B sweep (fresh process per config) ==="
-bash scripts/ab_bench.sh r3
+if [ -n "$SCAN_PIN" ]; then
+  GS_SCAN="$SCAN_PIN" bash scripts/ab_bench.sh r3
+else
+  bash scripts/ab_bench.sh r3
+fi
 echo "=== done: see results/ab_bench.log ==="
