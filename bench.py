@@ -168,6 +168,8 @@ def main():
         )
     loss = float(metrics["loss"])
     elapsed = time.perf_counter() - t0
+    if not np.isfinite(loss):
+        raise RuntimeError(f"non-finite loss {loss} — kernel lowering broken")
 
     sps = n_steps / elapsed
     try:
@@ -191,5 +193,46 @@ def main():
     )
 
 
+def _run_with_scan_fallback():
+    """Run main() with an automatic fallback to the hardware-proven
+    triangular-matmul scan lowering (GS_SCAN=trimat, see ops/rasterize.py).
+
+    The default Hillis-Steele lowering is faster by analysis but newer on
+    Mosaic; a compile failure, a non-finite loss, or a hang (alarm watchdog)
+    must not leave the benchmark without a number — re-exec with
+    GS_SCAN=trimat instead. An explicit GS_SCAN in the environment (A/B
+    sweeps) disables the fallback so failures stay visible.
+    """
+    import os
+    import signal
+    import sys
+
+    if os.environ.get("GS_SCAN"):
+        main()
+        return
+
+    def _fallback(reason):
+        print(
+            f"[bench] default scan lowering failed ({reason}); "
+            "re-running with GS_SCAN=trimat",
+            file=sys.stderr,
+        )
+        env = dict(os.environ)
+        env["GS_SCAN"] = "trimat"
+        os.execve(sys.executable, [sys.executable, __file__], env)
+
+    # The alarm persists across main()'s own snug-cap re-exec; that image
+    # re-arms a fresh 1500 s window on entry (the handler reset to default
+    # in between only matters if the alarm fires in that microsecond gap).
+    signal.signal(signal.SIGALRM, lambda *_: _fallback("watchdog timeout"))
+    signal.alarm(1500)
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — any failure triggers the retry
+        _fallback(repr(e)[:200])
+    finally:
+        signal.alarm(0)
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_scan_fallback()
