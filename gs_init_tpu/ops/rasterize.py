@@ -76,33 +76,52 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _prefix_scan(x, *, reverse: bool = False, exclusive: bool = False):
-    """Hillis-Steele prefix sum of [chunk, P] along axis 0, exact in f32.
+_SCAN_MODE = None
 
-    Replaces the triangular-matrix matmul for the log-transmittance
-    prefix/suffix: the prefix rides an exp(), so bf16 MXU rounding of the
-    logs (~2^-9 rel) compounds to percent-level weight error under deep
-    near-opaque stacks, and a Precision.HIGHEST matmul costs 6 bf16 passes.
-    log2(chunk) shifted VPU adds are exact f32 and stay off the MXU.
 
-    GS_SCAN=trimat restores the v1 triangular-matmul lowering (hardware
-    A/B knob; also the fallback if the shifted-add scan ever misbehaves
-    under Mosaic): same math, Precision.HIGHEST MXU contraction against an
-    iota-comparison mask.
+def _scan_mode() -> str:
+    """Resolve the prefix-scan lowering: "hs" (default) or "trimat".
+
+    GS_SCAN overrides unconditionally (A/B knob). Otherwise, on the first
+    use on a real TPU backend, a tiny Pallas probe compiles and checks the
+    Hillis-Steele shifted-add scan under Mosaic; any compile failure or
+    numeric mismatch silently selects the hardware-proven triangular-matmul
+    lowering instead, so a Mosaic regression degrades performance rather
+    than breaking training/benchmarks. One [128,128] kernel, once per
+    process.
     """
+    global _SCAN_MODE
+    env = _os.environ.get("GS_SCAN")
+    if env:
+        return "trimat" if env == "trimat" else "hs"
+    if _SCAN_MODE is None:
+        # Interpret mode (CPU tests) has no Mosaic lowering to probe.
+        _SCAN_MODE = "hs" if (_interpret() or _probe_hs_scan()) else "trimat"
+    return _SCAN_MODE
+
+
+def _probe_hs_scan() -> bool:
+    try:
+        n = 128
+        x = np.linspace(-1.0, 1.0, n * n, dtype=np.float32).reshape(n, n)
+
+        def k(x_ref, o_ref):
+            o_ref[...] = _hs_scan(x_ref[...], reverse=False, exclusive=True)
+
+        out = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32)
+        )(jnp.asarray(x))
+        got = np.asarray(out)  # forces lazy relay compile + execution
+        want = np.cumsum(x, axis=0) - x  # exclusive prefix
+        return bool(np.isfinite(got).all() and np.abs(got - want).max() < 1e-3)
+    except Exception:
+        return False
+
+
+def _hs_scan(x, *, reverse: bool = False, exclusive: bool = False):
+    """Hillis-Steele prefix sum of [chunk, P] along axis 0, exact in f32:
+    log2(chunk) shifted VPU adds, off the MXU."""
     n, p = x.shape
-    if _os.environ.get("GS_SCAN") == "trimat":
-        r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)  # output index
-        c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)  # input index
-        if reverse:
-            keep = (c > r) if exclusive else (c >= r)
-        else:
-            keep = (c < r) if exclusive else (c <= r)
-        return jax.lax.dot_general(
-            keep.astype(x.dtype), x, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
     zrow = jnp.zeros((1, p), x.dtype)
     s = x
     k = 1
@@ -122,6 +141,34 @@ def _prefix_scan(x, *, reverse: bool = False, exclusive: bool = False):
             else jnp.concatenate([zrow, s[:-1]], 0)
         )
     return s
+
+
+def _prefix_scan(x, *, reverse: bool = False, exclusive: bool = False):
+    """Prefix sum of [chunk, P] along axis 0 for the log-transmittance
+    prefix/suffix accumulators.
+
+    Default lowering is the Hillis-Steele shifted-add scan (exact f32; the
+    prefix rides an exp(), so bf16 MXU rounding of the logs (~2^-9 rel)
+    compounds to percent-level weight error under deep near-opaque stacks,
+    and the Precision.HIGHEST matmul alternative costs 6 bf16 passes). The
+    triangular-matmul lowering is kept as the probed/flagged fallback —
+    same math, Precision.HIGHEST MXU contraction against an iota mask; see
+    _scan_mode.
+    """
+    n, p = x.shape
+    if _scan_mode() == "trimat":
+        r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)  # output index
+        c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)  # input index
+        if reverse:
+            keep = (c > r) if exclusive else (c >= r)
+        else:
+            keep = (c < r) if exclusive else (c <= r)
+        return jax.lax.dot_general(
+            keep.astype(x.dtype), x, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    return _hs_scan(x, reverse=reverse, exclusive=exclusive)
 
 
 def _alpha_terms(d, px, py, lo, hi, chunk):
