@@ -207,9 +207,18 @@ def _run_with_scan_fallback():
     import signal
     import sys
 
-    if os.environ.get("GS_SCAN"):
+    # A user-set GS_SCAN is an explicit A/B choice: run it, no fallback.
+    # GS_BENCH_AUTOSCAN marks the pin as our own (the snug-cap re-exec
+    # inside main() inherits the env, and must stay armed).
+    if os.environ.get("GS_SCAN") and not os.environ.get("GS_BENCH_AUTOSCAN"):
         main()
         return
+    # Pin the default lowering explicitly: _scan_mode()'s one-shot probe
+    # would otherwise compile an extra executable, and loading a second
+    # executable degrades per-call latency globally under the relay
+    # (PERF.md) — the fallback below covers failures instead.
+    os.environ["GS_SCAN"] = "hs"
+    os.environ["GS_BENCH_AUTOSCAN"] = "1"
 
     def _fallback(reason):
         print(
@@ -219,6 +228,9 @@ def _run_with_scan_fallback():
         )
         env = dict(os.environ)
         env["GS_SCAN"] = "trimat"
+        # Drop the auto-pin marker: the re-exec'd image must treat trimat
+        # as an explicit choice (no re-pin to hs, no second fallback).
+        env.pop("GS_BENCH_AUTOSCAN", None)
         os.execve(sys.executable, [sys.executable, __file__], env)
 
     # The alarm persists across main()'s own snug-cap re-exec; that image
