@@ -86,6 +86,13 @@ def main():
             + " ".join(f"{nm}={d:.1e}" for nm, d in diffs),
             flush=True,
         )
+    from gs_init_tpu.ops import rasterize as _rz
+
+    print(
+        f"scan lowering used: {_rz._scan_mode()}"
+        + (" (env override)" if os.environ.get("GS_SCAN") else " (probed)"),
+        flush=True,
+    )
     print("SANITY", "PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)
 
