@@ -1,4 +1,6 @@
 """Parity: Pallas tile rasterizer (interpret mode on CPU) vs the XLA oracle."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -412,3 +414,42 @@ def test_scan_trimat_matches(rng, monkeypatch):
         b = np.asarray(b)
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-5, err_msg=name)
+
+
+def test_scan_unit_variants():
+    """_hs_scan agrees with numpy cumsum for every (reverse, exclusive)
+    combination, and the trimat lowering of _prefix_scan matches it."""
+    from gs_init_tpu.ops import rasterize as rz
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(16, 8)).astype(np.float32))
+    xn = np.asarray(x)
+    for reverse in (False, True):
+        for exclusive in (False, True):
+            want = np.cumsum(xn[::-1], 0)[::-1] if reverse else np.cumsum(xn, 0)
+            if exclusive:
+                want = want - xn
+            got = np.asarray(rz._hs_scan(x, reverse=reverse, exclusive=exclusive))
+            np.testing.assert_allclose(got, want, atol=1e-5)
+            os.environ["GS_SCAN"] = "trimat"
+            try:
+                tri = np.asarray(
+                    rz._prefix_scan(x, reverse=reverse, exclusive=exclusive)
+                )
+            finally:
+                del os.environ["GS_SCAN"]
+            np.testing.assert_allclose(tri, want, atol=1e-5)
+
+
+def test_scan_mode_dispatch(monkeypatch):
+    """GS_SCAN overrides the probe; unset resolves to 'hs' in interpret
+    mode (no Mosaic to probe on CPU)."""
+    from gs_init_tpu.ops import rasterize as rz
+
+    monkeypatch.setenv("GS_SCAN", "trimat")
+    assert rz._scan_mode() == "trimat"
+    monkeypatch.setenv("GS_SCAN", "hs")
+    assert rz._scan_mode() == "hs"
+    monkeypatch.delenv("GS_SCAN")
+    monkeypatch.setattr(rz, "_SCAN_MODE", None)
+    assert rz._scan_mode() == "hs"  # CPU/interpret: no probe needed
