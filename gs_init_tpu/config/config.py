@@ -375,6 +375,11 @@ class Config:
 
     # Logging / infra
     disable_viewer: bool = True
+    # Reference parity (config.py:74 / trainer.py:38): with the viewer
+    # enabled, the trainer blocks after training unless this is set. Our
+    # viewer thread is non-blocking by design; this only controls the
+    # post-train keep-alive.
+    non_blocking_viewer: bool = False
     port: int = 8080
     tb_every: int = 100
     # Profiling: capture a jax.profiler trace covering steps

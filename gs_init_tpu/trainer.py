@@ -44,6 +44,16 @@ def run_with_config(cfg: Config):
         runner.render_traj(step)
     else:
         runner.train()
+    if not cfg.disable_viewer and not cfg.non_blocking_viewer:
+        # Reference trainer.py:38-40: keep the viewer alive after training.
+        import time
+
+        print("Viewer running... Ctrl+C to exit.")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
     return runner
 
 
