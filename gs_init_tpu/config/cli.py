@@ -172,6 +172,12 @@ REFERENCE_ALIASES = {
     "mdi.metric3d.backbone": "mdi.backbone",
     "mdi.depthanything.backbone": "mdi.backbone",
     "mdi.depthanything.metric": "mdi.metric",
+    "mdi.depthanything.metric_model_type": "mdi.metric_variant",
+    "mdi.alignment.ransac.min_iters": "mdi.alignment.ransac.min_iterations",
+    "mdi.postprocess.subsample_params.max_bbox_aspect_ratio":
+        "mdi.postprocess.merge_max_aspect_ratio",
+    "mdi.postprocess.subsample_params.min_extent_multiplier":
+        "mdi.postprocess.merge_extent_multiplier",
     "mdi.moge.backbone": "mdi.backbone",
     "mdi.unidepth.backbone": "mdi.backbone",
 }

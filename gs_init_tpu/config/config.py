@@ -70,6 +70,11 @@ class RansacConfig:
     max_iterations: int = 2500
     confidence: float = 0.999
     sample_size: int = 4
+    # Reference RansacConfig.min_iters: a floor on the adaptive-termination
+    # iteration count. Inert here — the vmapped estimator always evaluates
+    # the FULL max_iterations budget (strictly more coverage), so every
+    # min_iters value is trivially satisfied. Accepted for CLI parity.
+    min_iterations: int = 0
     # TPU addition: hypotheses are evaluated as one vmapped batch instead of a
     # Python loop (reference loops in
     # depth_alignment/alignment/ransacs.py:100-189); this sets the batch.
@@ -83,6 +88,17 @@ class InterpolatedAlignmentConfig:
     # the reference defaults to it (depth_alignment/config.py InterpConfig).
     method: Literal["rbf", "delaunay"] = "delaunay"
     rbf_grid_width: int = 256
+    # Reference InterpConfig parity (depth_alignment/config.py):
+    # LOF/kNN-median scale-outlier removal toggle (default True there too).
+    scale_outlier_removal: bool = True
+    # RBF smoothing (torchrbf smoothing param; ridge term on the TPS solve).
+    smoothing: float = 0.001
+    # Only thin_plate_spline is implemented (ops/rbf.py); other torchrbf
+    # kernels raise rather than silently substituting.
+    kernel: str = "thin_plate_spline"
+    # Cap on points entering the dense TPS solve (-1 = all); the solve is
+    # O(M^3) and the reference caps at 5000 for the same reason.
+    max_rbf_points: int = 5000
     lof_neighbors: int = 20
     lof_threshold: float = 1.5
     knn_median_neighbors: int = 8
@@ -100,6 +116,10 @@ class SegmentationConfig:
     # Reference default 10 (DepthSegmentationConfig.region_margin), scaled
     # by max(H, W)/1297 at use; inert while segmentation.method is None.
     region_margin: float = 10.0
+    # Reference DepthSegmentationConfig.propagate_mask: the margin deadzone
+    # always excludes SfM points from the per-region fit; with this set it
+    # ALSO cuts the deadzone out of the output mask (default False).
+    propagate_mask: bool = False
     # SAM segmenter (reference SAMSegmentationconfig defaults,
     # depth_alignment/config.py:55-76); weights-gated on a local checkpoint.
     sam_variant: Literal["vit_b", "vit_l", "vit_h"] = "vit_h"

@@ -118,13 +118,16 @@ def align_interpolate(
     factors = np.where(
         valid & (np.abs(prealigned_at) > 1e-8), gt / np.maximum(prealigned_at, 1e-8), 1.0
     )
-    keep = _scale_outliers(
-        pix, factors, valid & (prealigned_at > 0),
-        knn_k=icfg.knn_median_neighbors,
-        knn_threshold=icfg.knn_median_threshold,
-        lof_k=icfg.lof_neighbors,
-        lof_threshold=icfg.lof_threshold,
-    )
+    if icfg.scale_outlier_removal:
+        keep = _scale_outliers(
+            pix, factors, valid & (prealigned_at > 0),
+            knn_k=icfg.knn_median_neighbors,
+            knn_threshold=icfg.knn_median_threshold,
+            lof_k=icfg.lof_neighbors,
+            lof_threshold=icfg.lof_threshold,
+        )
+    else:
+        keep = valid & (prealigned_at > 0)
     try:
         if keep.sum() < 8:
             raise ValueError(f"too few scale inliers ({int(keep.sum())})")
@@ -133,6 +136,22 @@ def align_interpolate(
                 pix[keep], factors[keep], h, w, icfg.rbf_grid_width
             )
         else:
+            if icfg.kernel != "thin_plate_spline":
+                raise NotImplementedError(
+                    f"RBF kernel {icfg.kernel!r} not implemented "
+                    "(ops/rbf.py is thin_plate_spline only)"
+                )
+            if 0 < icfg.max_rbf_points < int(keep.sum()):
+                # Cap the dense O(M^3) TPS solve (reference
+                # InterpConfig.max_rbf_points): keep a uniform random
+                # subset of the inliers, seeded from the alignment key.
+                seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+                idx = np.where(keep)[0]
+                drop = np.random.default_rng(seed).choice(
+                    idx, size=len(idx) - icfg.max_rbf_points, replace=False
+                )
+                keep = keep.copy()
+                keep[drop] = False
             scale_map = np.asarray(
                 tps_interpolate_grid(
                     jnp.asarray(pix, jnp.float32),
@@ -141,6 +160,7 @@ def align_interpolate(
                     h,
                     w,
                     grid_width=icfg.rbf_grid_width,
+                    smoothing=icfg.smoothing,
                 )
             )
         if not np.isfinite(scale_map).all():

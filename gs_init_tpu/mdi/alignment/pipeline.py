@@ -104,9 +104,20 @@ def align_depth(
     aligned = np.full((h, w), INVALID_DEPTH, np.float32)
     mask = np.zeros((h, w), bool)
     pt_labels = labels[ys, xs]
+    # Margin deadzone: SfM points near region boundaries are excluded from
+    # the per-region FIT (reference pipeline.py:242-247 gates
+    # region_sfm_point_indices on segment_deadzone_mask); the output mask
+    # only loses the deadzone under propagate_mask (pipeline.py:235-236,
+    # default False).
+    deadzone = (
+        region_margin_mask(labels, seg.region_margin)
+        if seg.region_margin > 0
+        else np.ones((h, w), bool)
+    )
+    fit_valid = valid & deadzone[ys, xs]
     min_pts = max(acfg.ransac.sample_size + 1, 4)
     for r in np.unique(labels):
-        region_valid = valid & (pt_labels == r)
+        region_valid = fit_valid & (pt_labels == r)
         sel = labels == r
         if region_valid.sum() < min_pts:
             _LOGGER.debug("region %d dropped (%d pts)", r, region_valid.sum())
@@ -118,7 +129,7 @@ def align_depth(
         )
         aligned[sel] = a[sel]
         mask[sel] = True
-    if seg.region_margin > 0:
-        mask &= region_margin_mask(labels, seg.region_margin)
+    if seg.propagate_mask:
+        mask &= deadzone
     mask &= np.asarray(pred_mask)
     return aligned, mask

@@ -180,3 +180,42 @@ def test_align_interpolate_delaunay_variant(rng):
     )
     rel = np.abs(aligned - true_depth) / true_depth
     assert np.median(rel) < 0.04
+
+
+def test_propagate_mask_semantics(rng):
+    """The margin deadzone always excludes SfM points from the per-region
+    FIT; it cuts the output mask only under propagate_mask (reference
+    pipeline.py:235-247, default False)."""
+    h, w = 40, 60
+    xs, ys = np.meshgrid(
+        np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32)
+    )
+    true = 2.0 + 0.01 * xs + 0.02 * ys
+    true[:, w // 2 :] += 4.0
+    true = true.astype(np.float32)
+    pred = true * 0.5 + 0.3
+    m = 300
+    px = rng.uniform(0, w - 1, m)
+    py = rng.uniform(0, h - 1, m)
+    pix = np.stack([px, py], -1).astype(np.float32)
+    gt = true[py.astype(int), px.astype(int)]
+
+    def run(propagate, margin=60.0):
+        acfg = DepthAlignmentConfig()
+        acfg.method = "lstsqrs"
+        acfg.segmentation.method = "slic"
+        acfg.segmentation.slic_n_segments = 12
+        acfg.segmentation.merge_gradient_threshold = 0.01
+        acfg.segmentation.region_margin = margin
+        acfg.segmentation.propagate_mask = propagate
+        return align_depth(
+            pred, np.ones((h, w), bool), pix, gt, np.ones(m, bool),
+            jax.random.PRNGKey(0), acfg,
+        )
+
+    _, mask_off = run(False)
+    _, mask_on = run(True)
+    # propagate=False keeps boundary pixels in the output; True cuts them.
+    assert mask_off.sum() > mask_on.sum()
+    # The cut pixels are exactly deadzone pixels of regions that aligned.
+    assert not (mask_on & ~mask_off).any()
