@@ -246,5 +246,62 @@ def _run_with_scan_fallback():
         signal.alarm(0)
 
 
+def _relay_precheck():
+    """Emit an honest zero-value JSON line if the TPU relay is unreachable.
+
+    While the relay is down, ``import jax`` retry-sleeps indefinitely inside
+    the axon plugin (PERF.md) — an unguarded bench run would hang with no
+    output at all. Probe with a bounded fresh interpreter (the same probe
+    scripts/tpu_watch.sh uses) before importing jax in this process; on
+    failure print a parseable result line with ``value: 0`` and an ``error``
+    field so the driver always gets ONE JSON line.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return  # explicit CPU run: no relay involved
+    if os.environ.get("GS_BENCH_SKIP_PROBE"):
+        return  # inner re-exec image: the outer image already probed
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128), jnp.bfloat16);"
+        "print('TPU_OK', float((x @ x).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True,
+            timeout=300,
+            text=True,
+        )
+        ok = "TPU_OK" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        ok = False
+    if not ok:
+        n = int(os.environ.get("GS_BENCH_N", 300_000))
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"train_steps_per_sec_1296x840_{n // 1000}k_gaussians"
+                    ),
+                    "value": 0.0,
+                    "unit": "steps/s",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        "tpu relay unreachable (bounded probe failed); "
+                        "no measurement possible — see PERF.md for the last "
+                        "measured value"
+                    ),
+                }
+            )
+        )
+        sys.exit(0)
+    os.environ["GS_BENCH_SKIP_PROBE"] = "1"
+
+
 if __name__ == "__main__":
+    _relay_precheck()
     _run_with_scan_fallback()

@@ -27,7 +27,10 @@ from ...ops.projection import quat_to_rotmat
 class DefaultStrategyState(NamedTuple):
     grad2d: jnp.ndarray  # [CAP] accumulated screen-grad norms
     count: jnp.ndarray  # [CAP] visibility counts
-    radii_max: jnp.ndarray  # [CAP] max screen radius (for scale2d rule)
+    # Max screen radius as a FRACTION of max(width, height) — gsplat
+    # normalizes the same way (default_strategy state["radii"]), so the
+    # grow_scale2d / prune_scale2d thresholds carry over unchanged.
+    radii_max: jnp.ndarray  # [CAP]
 
 
 def init_state(capacity: int) -> DefaultStrategyState:
@@ -55,7 +58,9 @@ def update_state(
         grad2d=state.grad2d + jnp.sum(jnp.where(visible, norms, 0.0), axis=0),
         count=state.count + jnp.sum(visible, axis=0).astype(jnp.float32),
         radii_max=jnp.maximum(
-            state.radii_max, jnp.max(radii, axis=0).astype(jnp.float32)
+            state.radii_max,
+            jnp.max(radii, axis=0).astype(jnp.float32)
+            / float(max(width, height)),
         ),
     )
     return state
@@ -92,6 +97,15 @@ def refine(
     is_small = scale_max <= cfg.grow_scale3d * scene_scale
     is_dup = alive & is_high & is_small
     is_split = alive & is_high & ~is_small
+    if cfg.refine_scale2d_stop_iter > 0:
+        # Screen-size split rule (gsplat default_strategy, off by default
+        # there too): huge-on-screen gaussians split regardless of gradient
+        # while step < refine_scale2d_stop_iter.
+        scale2d_on = step < cfg.refine_scale2d_stop_iter
+        is_split = is_split | (
+            alive & scale2d_on & (sstate.radii_max > cfg.grow_scale2d)
+        )
+        is_dup = is_dup & ~is_split
 
     # --- grow: allocate one new slot per candidate (dup copy / split twin).
     cand = is_dup | is_split
@@ -113,6 +127,16 @@ def refine(
         means=jnp.where(is_split[:, None], samp2, params.means),
         scales=jnp.where(is_split[:, None], split_scales, params.scales),
     )
+    if cfg.revised_opacity:
+        # Revised opacity for the duplicated copy (arXiv 2404.06109; gsplat
+        # revised_opacity): o_new = 1 - sqrt(1 - o), in logit space.
+        o = jax.nn.sigmoid(params.opacities)
+        rev = jnp.clip(1.0 - jnp.sqrt(jnp.maximum(1.0 - o, 0.0)), 1e-7, 1 - 1e-7)
+        new_vals = new_vals._replace(
+            opacities=jnp.where(
+                is_dup, jnp.log(rev) - jnp.log1p(-rev), new_vals.opacities
+            )
+        )
 
     def scatter(buf, vals):
         d = jnp.where(ok, dst, cap)  # out-of-bounds -> dropped
@@ -142,6 +166,12 @@ def refine(
     opa = jax.nn.sigmoid(params.opacities)
     prune = opa < cfg.prune_opa
     is_too_big = scale_max > cfg.prune_scale3d * scene_scale
+    if cfg.refine_scale2d_stop_iter > 0:
+        # Screen-size prune rule (same gating as the split rule above).
+        is_too_big = is_too_big | (
+            (step < cfg.refine_scale2d_stop_iter)
+            & (sstate.radii_max > cfg.prune_scale2d)
+        )
     prune = prune | (is_too_big & (step > cfg.reset_every))
     alive = alive & ~prune
 

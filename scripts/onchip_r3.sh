@@ -13,6 +13,9 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p results
+# The relay was just probed healthy to get here; skip bench.py's own
+# bounded pre-probe (one less tiny executable per sweep row).
+export GS_BENCH_SKIP_PROBE=1
 
 sanity() {  # sanity <logfile> [ENV=VAL ...]
   local log="$1"; shift

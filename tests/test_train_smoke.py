@@ -308,3 +308,64 @@ def test_background_color(rng):
         np.asarray(r)[0][empty], np.tile([[0.25, 0.5, 0.75]], (empty.sum(), 1)),
         atol=1e-6,
     )
+
+
+def test_refine_scale2d_rules(rng):
+    """grow_scale2d splits huge-on-screen gaussians regardless of gradient,
+    prune_scale2d prunes them — both only while step <
+    refine_scale2d_stop_iter (gsplat default_strategy semantics)."""
+    scene = make_scene(n_gaussians=16, n_cams=4, width=32, height=24)
+    cap = 64
+    gstate = init_from_points(
+        jnp.asarray(scene.points[:16]), jnp.asarray(scene.rgbs[:16]), cap, 1
+    )
+    adam = init_adam_state(gstate.params)
+    # prune_scale3d=1e9 silences the 3D too-big rule so only the screen-size
+    # rules can fire (kNN-init scales vs scene_scale=1.0 are otherwise big
+    # enough to prune everything once step > reset_every).
+    scfg = DefaultStrategyConfig(refine_scale2d_stop_iter=4000, prune_scale3d=1e9)
+    sstate = dstrat.init_state(cap)
+    # No gradient signal at all; only the screen-size rule can fire. Radii
+    # are stored normalized by max(W, H): 0.2 > grow_scale2d (0.05) and
+    # > prune_scale2d (0.15).
+    sstate = sstate._replace(
+        count=jnp.ones(cap), radii_max=jnp.zeros(cap).at[:3].set(0.2)
+    )
+    g2, _, _, stats = dstrat.refine(
+        gstate, adam, sstate, jax.random.PRNGKey(0), 1.0, scfg, jnp.int32(3100)
+    )
+    # The 3 oversized gaussians split (one twin each) AND prune as too-big
+    # (step > reset_every = 3000): originals die, twins survive.
+    assert int(stats["n_split"]) == 3
+    assert int(num_alive(g2)) == 16 + 3 - 3
+    # Past refine_scale2d_stop_iter the rule is off; nothing happens.
+    g3, _, _, stats3 = dstrat.refine(
+        gstate, adam, sstate, jax.random.PRNGKey(0), 1.0, scfg, jnp.int32(4500)
+    )
+    assert int(stats3["n_split"]) == 0
+    assert int(num_alive(g3)) == 16
+
+
+def test_refine_revised_opacity(rng):
+    """revised_opacity: the duplicated copy gets o' = 1 - sqrt(1 - o)."""
+    scene = make_scene(n_gaussians=8, n_cams=2, width=32, height=24)
+    cap = 32
+    gstate = init_from_points(
+        jnp.asarray(scene.points[:8]), jnp.asarray(scene.rgbs[:8]), cap, 1
+    )
+    adam = init_adam_state(gstate.params)
+    sstate = dstrat.init_state(cap)
+    sstate = sstate._replace(
+        grad2d=jnp.zeros(cap).at[:2].set(1.0), count=jnp.ones(cap)
+    )
+    scfg = DefaultStrategyConfig(revised_opacity=True, grow_scale3d=1e9)
+    g2, _, _, stats = dstrat.refine(
+        gstate, adam, sstate, jax.random.PRNGKey(0), 1.0, scfg, jnp.int32(1000)
+    )
+    assert int(stats["n_dup"]) == 2
+    o_orig = np.asarray(jax.nn.sigmoid(gstate.params.opacities))[:2]
+    # New slots were allocated in the first free (dead) positions.
+    alive0 = np.asarray(gstate.alive)
+    new_slots = np.where(~alive0)[0][:2]
+    o_new = np.asarray(jax.nn.sigmoid(g2.params.opacities))[new_slots]
+    np.testing.assert_allclose(o_new, 1.0 - np.sqrt(1.0 - o_orig), rtol=1e-5)
