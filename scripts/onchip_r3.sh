@@ -43,4 +43,27 @@ if [ -n "$SCAN_PIN" ]; then
 else
   bash scripts/ab_bench.sh r3
 fi
-echo "=== done: see results/ab_bench.log ==="
+echo "=== stage 1 done: see results/ab_bench.log ==="
+
+# Stage 2 (auto-chained so an unattended recovery still lands everything;
+# flag flips into Config defaults happen afterwards, by hand, from the
+# sweep results). Each stage is independent — a failure logs and moves on.
+S2ENV=()
+[ -n "$SCAN_PIN" ] && S2ENV=(GS_SCAN="$SCAN_PIN")
+
+echo "=== stage 2a: default-flag bench refresh ==="
+env "${S2ENV[@]}" timeout 1800 python bench.py 2>results/bench_r3_refresh.err \
+  | tee results/bench_r3_refresh.json || echo "bench refresh FAILED"
+
+echo "=== stage 2b: full-scale e2e quality (sfm vs monocular_depth) ==="
+env "${S2ENV[@]}" timeout 14400 python scripts/e2e_quality.py \
+  --out results/e2e_tpu_full > results/e2e_tpu_full.log 2>&1 \
+  || echo "e2e full-scale FAILED (see results/e2e_tpu_full.log)"
+tail -5 results/e2e_tpu_full.log || true
+
+echo "=== stage 2c: depth-init throughput (BASELINE.json imgs/sec) ==="
+env "${S2ENV[@]}" timeout 3600 python scripts/bench_depth.py \
+  2>results/bench_depth_r3.err | tee results/bench_depth_r3.json \
+  || echo "bench_depth FAILED"
+
+echo "=== done: stages 1+2 complete ==="
