@@ -287,6 +287,10 @@ class Config:
     eval_steps: List[int] = field(default_factory=lambda: [7_000, 30_000])
     save_steps: List[int] = field(default_factory=lambda: [7_000, 30_000])
     save_ply: bool = False
+    # Save ALL val predictions (gt|render canvases) at eval steps, enabling
+    # the sweep's separate metric-recompute pass (reference
+    # nerfbaselines_evaluator.py:691-700 evaluates from saved predictions).
+    save_predictions: bool = False
     ply_steps: List[int] = field(default_factory=lambda: [7_000, 30_000])
     steps_scaler: float = 1.0
 

@@ -456,6 +456,17 @@ class Runner:
                 for k, v in last_metrics.items():
                     w.add_scalar(f"train/{k}", v, step)
                 w.add_scalar("train/num_GS", int(num_alive(self.gstate)), step)
+                # Device memory for post-hoc table readback (the reference
+                # tables pull GPU mem out of TB, parameters.py:10-30).
+                from ..utils.mem import device_memory_stats
+
+                mem = device_memory_stats()
+                if mem:
+                    w.add_scalar(
+                        "train/mem_peak_gb",
+                        mem["peak_bytes_in_use"] / 1024**3,
+                        step,
+                    )
                 print(
                     f"step {step}: loss={last_metrics.get('loss', 0):.4f} "
                     f"num_GS={int(num_alive(self.gstate))}"
@@ -569,7 +580,7 @@ class Runner:
                 lpipss.append(
                     float(lpips(jnp.asarray(color)[None], jnp.asarray(gt)[None]))
                 )
-            if i < 4:
+            if i < 4 or cfg.save_predictions:
                 import imageio.v2 as imageio
 
                 canvas = np.concatenate([gt, color], axis=1)

@@ -13,12 +13,74 @@ import re
 from typing import Dict, List, Optional, Sequence
 
 METRICS = ["psnr", "ssim", "lpips", "cc_psnr", "num_GS", "ellipse_time"]
-HIGHER_BETTER = {"psnr": True, "ssim": True, "lpips": False, "cc_psnr": True}
+HIGHER_BETTER = {
+    "psnr": True, "ssim": True, "lpips": False, "cc_psnr": True,
+    "tb_train/loss": False, "tb_train/mem_peak_gb": False,
+}
+
+# Train-time scalars merged into table rows from TensorBoard event files
+# (reference parameters.py:10-30 + nerfbaselines_evaluator.py:491-511 read
+# num_GS / memory / timing back out of TB rather than stats JSON).
+DEFAULT_TB_TAGS = ["train/num_GS", "train/loss", "train/mem_peak_gb"]
 
 
-def collect_results(output_root: str, step: Optional[int] = None) -> List[dict]:
-    """Scan <output_root>/<scene>/<preset_runid>/stats/val_step*.json."""
+def read_tb_scalars(
+    run_dir: str,
+    tags: Optional[Sequence[str]] = None,
+    step: Optional[int] = None,
+) -> Dict[str, float]:
+    """Read scalar values from a run's TB event files.
+
+    Returns ``{tag: value}`` — the value at ``step`` if given (exact match,
+    like the reference's TensorboardDataLoader.read_param), else the
+    last-logged value (read_param_from_last_tensorboard_step,
+    nerfbaselines_evaluator.py:491-511). Missing tags are simply absent
+    from the result; a missing/corrupt event file yields an empty dict.
+    """
+    tb_dir = os.path.join(run_dir, "tb")
+    if not os.path.isdir(tb_dir):
+        return {}
+    try:
+        from tensorboard.backend.event_processing import event_accumulator
+    except ImportError:
+        return {}
+    out: Dict[str, float] = {}
+    try:
+        ea = event_accumulator.EventAccumulator(
+            tb_dir, size_guidance={event_accumulator.SCALARS: 0}
+        )
+        ea.Reload()
+        avail = ea.Tags().get("scalars", [])
+        for tag in tags or avail:
+            if tag not in avail:
+                continue
+            scalars = ea.Scalars(tag)
+            if not scalars:
+                continue
+            if step is None:
+                out[tag] = float(scalars[-1].value)
+            else:
+                for s in scalars:
+                    if s.step == step:
+                        out[tag] = float(s.value)
+                        break
+    except Exception:
+        return {}
+    return out
+
+
+def collect_results(
+    output_root: str,
+    step: Optional[int] = None,
+    tb_tags: Optional[Sequence[str]] = DEFAULT_TB_TAGS,
+) -> List[dict]:
+    """Scan <output_root>/<scene>/<preset_runid>/stats/val_step*.json.
+
+    When ``tb_tags`` is non-empty, each row additionally carries train-time
+    TB scalars as ``tb_<tag>`` columns (last-logged value).
+    """
     rows = []
+    tb_cache: Dict[str, Dict[str, float]] = {}
     for stats_path in glob.glob(
         os.path.join(output_root, "*", "*", "stats", "val_step*.json")
     ):
@@ -30,12 +92,18 @@ def collect_results(output_root: str, step: Optional[int] = None) -> List[dict]:
         scene = os.path.basename(os.path.dirname(run_dir))
         preset = os.path.basename(run_dir)
         preset = re.sub(r"_[0-9a-f]{12}$", "", preset)
+        if tb_tags and run_dir not in tb_cache:
+            tb_cache[run_dir] = {
+                f"tb_{k}": v
+                for k, v in read_tb_scalars(run_dir, tb_tags).items()
+            }
         rows.append(
             dict(
                 scene=scene,
                 preset=preset,
                 step=s,
                 **json.load(open(stats_path)),
+                **tb_cache.get(run_dir, {}),
             )
         )
     if step is not None:

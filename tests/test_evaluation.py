@@ -59,11 +59,106 @@ def test_run_planning_and_stamp(tmp_path):
     json.dump({}, open(os.path.join(r0.out_dir, "stats", "train_final.json"), "w"))
     runs2 = plan_sweep("/data", ["garden", "room"], ["{default,mcmc}"], root)
     assert sum(r.done for r in runs2) == 1
-    # Stale stamp -> backed up, not done.
+    # Stale stamp -> backed up into <root>_backup with a timestamp suffix,
+    # preserving the scene-relative path (reference evaluator :53-76).
     json.dump({"run_id": "stale"}, open(os.path.join(r0.out_dir, "run_id.json"), "w"))
     runs3 = plan_sweep("/data", ["garden", "room"], ["{default,mcmc}"], root)
     assert sum(r.done for r in runs3) == 0
-    assert os.path.exists(r0.out_dir + ".bak")
+    assert not os.path.exists(r0.out_dir)
+    backup_root = root + "_backup"
+    rel_parent = os.path.relpath(os.path.dirname(r0.out_dir), root)
+    backups = os.listdir(os.path.join(backup_root, rel_parent))
+    assert len(backups) == 1
+    assert backups[0].startswith(os.path.basename(r0.out_dir) + "_")
+    # The backed-up tree still contains the stale stamp.
+    assert os.path.exists(
+        os.path.join(backup_root, rel_parent, backups[0], "run_id.json")
+    )
+
+
+def test_force_overwrite_backs_up_completed_run(tmp_path):
+    root = str(tmp_path / "out")
+    runs = plan_sweep("/data", ["garden"], ["default"], root)
+    r0 = runs[0]
+    os.makedirs(os.path.join(r0.out_dir, "stats"), exist_ok=True)
+    json.dump({"run_id": r0.run_id}, open(os.path.join(r0.out_dir, "run_id.json"), "w"))
+    json.dump({}, open(os.path.join(r0.out_dir, "stats", "train_final.json"), "w"))
+    runs2 = plan_sweep("/data", ["garden"], ["default"], root, force_overwrite=True)
+    assert not runs2[0].done
+    assert not os.path.exists(r0.out_dir)
+
+
+def test_done_requires_per_step_val_stats(tmp_path):
+    """A run whose cfg.json lists eval steps is incomplete until every
+    val_step{S}.json exists (reference output_dir_needs_overwrite)."""
+    root = str(tmp_path / "out")
+    runs = plan_sweep("/data", ["garden"], ["default"], root)
+    r0 = runs[0]
+    os.makedirs(os.path.join(r0.out_dir, "stats"), exist_ok=True)
+    json.dump({"run_id": r0.run_id}, open(os.path.join(r0.out_dir, "run_id.json"), "w"))
+    json.dump({}, open(os.path.join(r0.out_dir, "stats", "train_final.json"), "w"))
+    json.dump({"eval_steps": [5, 10]}, open(os.path.join(r0.out_dir, "cfg.json"), "w"))
+    json.dump({}, open(os.path.join(r0.out_dir, "stats", "val_step5.json"), "w"))
+    runs2 = plan_sweep("/data", ["garden"], ["default"], root)
+    assert not runs2[0].done  # val_step10.json missing -> backed up
+    # Complete it and re-plan (out_dir was backed up; recreate fully).
+    os.makedirs(os.path.join(r0.out_dir, "stats"), exist_ok=True)
+    json.dump({"run_id": r0.run_id}, open(os.path.join(r0.out_dir, "run_id.json"), "w"))
+    json.dump({}, open(os.path.join(r0.out_dir, "stats", "train_final.json"), "w"))
+    json.dump({"eval_steps": [5, 10]}, open(os.path.join(r0.out_dir, "cfg.json"), "w"))
+    json.dump({}, open(os.path.join(r0.out_dir, "stats", "val_step5.json"), "w"))
+    json.dump({}, open(os.path.join(r0.out_dir, "stats", "val_step10.json"), "w"))
+    runs3 = plan_sweep("/data", ["garden"], ["default"], root)
+    assert runs3[0].done
+
+
+def test_evaluate_run_recomputes_from_saved_renders(tmp_path, rng):
+    """The separate eval pass recomputes metrics from disk and they match
+    the degradation ordering (identical render -> inf/1.0, noisy -> lower)."""
+    import imageio.v2 as imageio
+
+    from gs_init_tpu.evaluation.sweep import evaluate_run
+
+    out = tmp_path / "run"
+    (out / "renders").mkdir(parents=True)
+    json.dump({"eval_steps": [10]}, open(out / "cfg.json", "w"))
+    gt = rng.uniform(0.2, 0.8, (32, 40, 3)).astype(np.float32)
+    clean = np.clip(gt + rng.normal(0, 0.01, gt.shape), 0, 1)
+    noisy = np.clip(gt + rng.normal(0, 0.2, gt.shape), 0, 1)
+    for i, render in enumerate([clean, noisy]):
+        canvas = (np.concatenate([gt, render], axis=1) * 255).astype(np.uint8)
+        imageio.imwrite(str(out / "renders" / f"val_10_{i:03d}.png"), canvas)
+    metrics = evaluate_run(str(out))
+    results = json.load(open(out / "results-10.json"))
+    assert results["n_images"] == 2
+    per = results["per_image"]
+    assert per[0]["psnr"] > per[1]["psnr"] > 5.0
+    assert per[0]["ssim"] > per[1]["ssim"]
+    assert metrics["psnr"] == pytest.approx(
+        np.mean([p["psnr"] for p in per]), abs=1e-6
+    )
+    # Missing renders for an explicit step -> clear error.
+    with pytest.raises(FileNotFoundError):
+        evaluate_run(str(out), step=99)
+
+
+def test_prune_run_keeps_last_ckpt_and_edge_steps(tmp_path):
+    from gs_init_tpu.evaluation.sweep import prune_run
+
+    out = tmp_path / "run"
+    (out / "ckpts").mkdir(parents=True)
+    (out / "renders").mkdir()
+    for s in [5, 10, 20]:
+        (out / "ckpts" / f"ckpt_{s}.npz").write_bytes(b"x")
+        for i in range(2):
+            (out / "renders" / f"val_{s}_{i:03d}.png").write_bytes(b"x")
+    (out / "renders" / "traj_20.mp4").write_bytes(b"x")
+    prune_run(str(out))
+    assert sorted(os.listdir(out / "ckpts")) == ["ckpt_20.npz"]
+    kept = sorted(os.listdir(out / "renders"))
+    assert "val_5_000.png" in kept and "val_20_000.png" in kept
+    assert not any(k.startswith("val_10_") for k in kept)
+    assert "traj_20.mp4" in kept  # non-val artifacts untouched
 
 
 def test_slurm_sharding(tmp_path, monkeypatch):
@@ -144,3 +239,42 @@ def test_analyze_renders_cli(tmp_path, rng):
     assert len(rows) == 1 and rows[0]["step"] == 30
     assert np.isfinite(rows[0]["psnr"]).all()
     assert rows[0]["psnr"].min() > 60  # identical halves
+
+
+def test_tb_scalar_readback_into_tables(tmp_path):
+    """Train-time TB scalars are merged into table rows (reference
+    nerfbaselines_evaluator.py:491-511 + parameters.py:10-30)."""
+    from tensorboardX import SummaryWriter
+
+    from gs_init_tpu.evaluation.sweep import run_id_of
+    from gs_init_tpu.evaluation.tables import collect_results, read_tb_scalars
+
+    rid = run_id_of("garden", (("__preset__", "default"),))
+    run_dir = tmp_path / "out" / "garden" / f"default_{rid}"
+    (run_dir / "stats").mkdir(parents=True)
+    json.dump(
+        {"psnr": 25.0, "ssim": 0.8},
+        open(run_dir / "stats" / "val_step10.json", "w"),
+    )
+    w = SummaryWriter(str(run_dir / "tb"))
+    for step, (ngs, loss) in enumerate([(100, 0.5), (200, 0.3), (350, 0.2)]):
+        w.add_scalar("train/num_GS", ngs, step)
+        w.add_scalar("train/loss", loss, step)
+    w.close()
+
+    # Last-step semantics by default; exact-step when requested.
+    scalars = read_tb_scalars(str(run_dir))
+    assert scalars["train/num_GS"] == 350.0
+    assert scalars["train/loss"] == pytest.approx(0.2)
+    at1 = read_tb_scalars(str(run_dir), ["train/num_GS"], step=1)
+    assert at1["train/num_GS"] == 200.0
+    # Missing tag -> absent, not an error.
+    assert "train/nope" not in read_tb_scalars(str(run_dir), ["train/nope"])
+
+    rows = collect_results(str(tmp_path / "out"))
+    assert len(rows) == 1
+    assert rows[0]["tb_train/num_GS"] == 350.0
+    assert rows[0]["psnr"] == 25.0
+    # A run with no tb dir still collects (no tb_ columns).
+    rows_no_tb = collect_results(str(tmp_path / "out"), tb_tags=None)
+    assert "tb_train/num_GS" not in rows_no_tb[0]
