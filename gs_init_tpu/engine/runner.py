@@ -60,6 +60,9 @@ def resolve_mesh(cfg) -> "tuple[int, int] | None":
 
 
 class Runner:
+    train_step: int = -1  # live progress read by the viewer /status endpoint
+    viewer = None
+
     def __init__(
         self,
         cfg: Config,
@@ -444,11 +447,28 @@ class Runner:
         self.global_step = step
         return metrics
 
+    def start_viewer(self) -> "int | None":
+        """Attach the live HTTP viewer to this (possibly training) runner.
+
+        Reference parity: runner.py:302-309 starts a viser/nerfview server
+        before training and renders from the live splats between steps
+        (runner.py:880-900). Rank-0 only; returns the bound port.
+        """
+        if jax.process_index() != 0:
+            return None
+        from ..viewer import ViewerServer
+
+        self.viewer = ViewerServer(self, port=self.cfg.port)
+        return self.viewer.start()
+
     def train(self):
         cfg = self.cfg
+        if not cfg.disable_viewer and getattr(self, "viewer", None) is None:
+            self.start_viewer()
         t0 = time.time()
         last_metrics = {}
         for step in range(cfg.max_steps):
+            self.train_step = step
             metrics = self.train_iteration(step)
             if step % cfg.tb_every == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}

@@ -24,7 +24,7 @@ import numpy as np
 _PAGE = """<!DOCTYPE html><html><head><title>gs_init_tpu viewer</title>
 <style>body{margin:0;background:#111;color:#eee;font-family:monospace}
 #hud{position:fixed;top:8px;left:8px}</style></head>
-<body><div id="hud">drag: orbit | wheel: zoom</div>
+<body><div id="hud">drag: orbit | wheel: zoom<span id="st"></span></div>
 <img id="v" style="width:100vw;height:100vh;object-fit:contain">
 <script>
 let yaw=0,pitch=0,radius=3,busy=false,dirty=true;
@@ -40,11 +40,23 @@ window.onmousemove=e=>{if(!drag)return;yaw+=(e.clientX-lx)*0.01;
  lx=e.clientX;ly=e.clientY;dirty=true;refresh();};
 window.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001);dirty=true;refresh();};
 setInterval(refresh,100);refresh();
+async function st(){try{const r=await(await fetch('/status')).json();
+ if(r.step>=0){document.getElementById('st').textContent=
+  ` | step ${r.step} | ${r.num_GS} GS`;dirty=true;}}catch(e){}}
+setInterval(st,2000);st();
 </script></body></html>"""
 
 
 class ViewerServer:
-    """Serve renders of a live Runner (or a loaded checkpoint)."""
+    """Serve renders of a live Runner (or a loaded checkpoint).
+
+    Live-attach parity with the reference's viser/nerfview thread
+    (runner.py:302-309, 880-900): ``start()`` runs the HTTP server on a
+    daemon thread so the Runner can keep training while views are served
+    from whatever parameter snapshot is current (JAX arrays are immutable,
+    so a concurrent read simply sees the last completed update). Pass
+    ``port=0`` to bind an ephemeral port (tests).
+    """
 
     def __init__(self, runner, port: int = 8080, width: int = 640):
         self.runner = runner
@@ -56,6 +68,27 @@ class ViewerServer:
         self.center = centers.mean(axis=0) * 0.0  # scene is normalized
         self.radius0 = float(np.linalg.norm(centers, axis=1).mean())
         self._lock = threading.Lock()
+        self._srv = None
+        self._thread = None
+
+    def start(self) -> int:
+        """Serve on a daemon thread; returns the bound port."""
+        self._srv = ThreadingHTTPServer(
+            ("0.0.0.0", self.port), self._make_handler()
+        )
+        self.port = self._srv.server_address[1]
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True, name="gs-viewer"
+        )
+        self._thread.start()
+        print(f"viewer on http://localhost:{self.port}")
+        return self.port
+
+    def stop(self):
+        if self._srv is not None:
+            self._srv.shutdown()
+            self._srv.server_close()
+            self._srv = None
 
     def render_view(self, yaw: float, pitch: float, radius: float, w: int, h: int):
         from .datasets.synthetic import look_at
@@ -77,6 +110,14 @@ class ViewerServer:
         return (np.clip(color, 0, 1) * 255).astype(np.uint8)
 
     def serve_forever(self):
+        self._srv = ThreadingHTTPServer(
+            ("0.0.0.0", self.port), self._make_handler()
+        )
+        self.port = self._srv.server_address[1]
+        print(f"viewer on http://localhost:{self.port}")
+        self._srv.serve_forever()
+
+    def _make_handler(self):
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -109,12 +150,26 @@ class ViewerServer:
                     self.end_headers()
                     self.wfile.write(buf.getvalue())
                     return
+                if u.path == "/status":
+                    # Training progress for the HUD (nerfview shows
+                    # step/num_GS on its overlay).
+                    from .engine.params import num_alive
+
+                    body = json.dumps(
+                        {
+                            "step": int(getattr(viewer.runner, "train_step", -1)),
+                            "num_GS": int(num_alive(viewer.runner.gstate)),
+                        }
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 self.send_response(404)
                 self.end_headers()
 
-        srv = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
-        print(f"viewer on http://localhost:{self.port}")
-        srv.serve_forever()
+        return Handler
 
 
 def main(argv=None):
