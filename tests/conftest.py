@@ -67,6 +67,13 @@ _HEAVY_MODULES = {
     "test_metric3d_parity",
     "test_depth_pro_parity",
     "test_ckpt_orbax",
+    # full-runner / mesh-parity e2e tests (each 20-40 s: jit a whole train
+    # step, often per mesh shape) — the fast tier must stay <5 min
+    "test_band_shard",
+    "test_runner_mesh",
+    "test_integration",
+    "test_masks_export",
+    "test_viewer_live",
 }
 
 
