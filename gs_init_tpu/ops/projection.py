@@ -30,6 +30,13 @@ class Projected(NamedTuple):
     depths: jnp.ndarray  # [C, N] camera-space z
     radii: jnp.ndarray  # [C, N] int32 screen radius (0 = culled)
     opacities: jnp.ndarray  # [C, N] (compensated when antialiased)
+    # Per-axis support half-extents of the n-sigma level set (the ellipse's
+    # axis-aligned bounding box: n*sqrt(cov_xx), n*sqrt(cov_yy)) — always
+    # <= the bounding-circle radius above, and the box they span still
+    # contains the whole level set (marginal bound: |dx| > n*sqrt(cov_xx)
+    # implies mahalanobis > n). Tile binning uses these; everything
+    # radius-shaped downstream (refine_scale2d, radius_clip) keeps `radii`.
+    extents: jnp.ndarray | None = None  # [C, N, 2] int32 (x, y), 0 = culled
 
 
 def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
@@ -204,22 +211,32 @@ def project_gaussians(
     mid = 0.5 * (a + c)
     lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
     nsigma = jnp.sqrt(2.0 * jnp.log(jnp.maximum(opac * 255.0, 1.0 + 1e-6)))
-    radius_f = jnp.ceil(jnp.minimum(3.0, nsigma) * jnp.sqrt(lam1))
+    nsig = jnp.minimum(3.0, nsigma)
+    radius_f = jnp.ceil(nsig * jnp.sqrt(lam1))
+    # Elliptical AABB (see Projected.extents): a and c are the blurred
+    # covariance diagonal, so these are exact marginal supports. Strictly
+    # inside the bounding circle yet still covering the full level set —
+    # the anisotropy win feeds straight into the pair count.
+    ext_x = jnp.ceil(nsig * jnp.sqrt(jnp.maximum(a, 0.0)))
+    ext_y = jnp.ceil(nsig * jnp.sqrt(jnp.maximum(c, 0.0)))
 
     valid = (
         (tz > near_plane)
         & (tz < far_plane)
         & (det > 0)
         & (radius_f > radius_clip)
-        & (mean2d_x + radius_f > 0)
-        & (mean2d_x - radius_f < width)
-        & (mean2d_y + radius_f > 0)
-        & (mean2d_y - radius_f < height)
+        & (mean2d_x + ext_x > 0)
+        & (mean2d_x - ext_x < width)
+        & (mean2d_y + ext_y > 0)
+        & (mean2d_y - ext_y < height)
         & (opac > 1.0 / 255.0)
     )
     if alive is not None:
         valid = valid & alive[None, :]
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    extents = jnp.stack(
+        [jnp.where(valid, ext_x, 0.0), jnp.where(valid, ext_y, 0.0)], axis=-1
+    ).astype(jnp.int32)
 
     return Projected(
         means2d=mean2d,
@@ -227,6 +244,7 @@ def project_gaussians(
         depths=tz,
         radii=radii,
         opacities=opac,
+        extents=extents,
     )
 
 

@@ -84,11 +84,22 @@ def _scan_mode() -> str:
 
     GS_SCAN overrides unconditionally (A/B knob). Otherwise, on the first
     use on a real TPU backend, a tiny Pallas probe compiles and checks the
-    Hillis-Steele shifted-add scan under Mosaic; any compile failure or
-    numeric mismatch silently selects the hardware-proven triangular-matmul
-    lowering instead, so a Mosaic regression degrades performance rather
-    than breaking training/benchmarks. One [128,128] kernel, once per
-    process.
+    Hillis-Steele shifted-add scan under Mosaic *in a fresh subprocess*;
+    any compile failure or numeric mismatch silently selects the
+    hardware-proven triangular-matmul lowering instead, so a Mosaic
+    regression degrades performance rather than breaking
+    training/benchmarks.
+
+    The probe MUST NOT execute jax ops in this process: the first call
+    typically happens while tracing the compositor kernel (via
+    _prefix_scan), where any eagerly-created array leaks into the enclosing
+    jaxpr as a captured constant — the round-3 on-chip sanity failure
+    ("captures constants [f32[128,128]]", results/sanity_r3.log) was the
+    in-process probe's own input array poisoning the kernel trace, after
+    which np.asarray on the probe's tracer output raised, the probe
+    "failed", and trimat tracing inherited the leaked constant. A
+    subprocess is immune to that and also contains Mosaic crashes and dead
+    TPU relays (bounded timeout).
     """
     global _SCAN_MODE
     env = _os.environ.get("GS_SCAN")
@@ -100,22 +111,77 @@ def _scan_mode() -> str:
     return _SCAN_MODE
 
 
+_PROBE_SRC = r"""
+import sys
+import numpy as np
+sys.path.insert(0, sys.argv[1])
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from gs_init_tpu.ops.rasterize import _hs_scan
+
+n = 128
+x = np.linspace(-1.0, 1.0, n * n, dtype=np.float32).reshape(n, n)
+
+def k(x_ref, o_ref):
+    o_ref[...] = _hs_scan(x_ref[...], reverse=False, exclusive=True)
+
+out = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32))(
+    jnp.asarray(x)
+)
+got = np.asarray(out)  # forces compile + execution on the real backend
+want = np.cumsum(x, axis=0) - x  # exclusive prefix
+ok = bool(np.isfinite(got).all() and np.abs(got - want).max() < 1e-3)
+sys.exit(0 if ok else 1)
+"""
+
+
 def _probe_hs_scan() -> bool:
+    """Run the HS-scan hardware probe in a fresh subprocess (see _scan_mode).
+
+    Touches no jax in THIS process (so callers may invoke it before backend
+    init — e.g. bench.py resolves the mode up front, while the chip is still
+    free for the child). Result is cached per env-signature in the system
+    temp dir so the ~30 s jax init + compile cost is paid once per machine
+    boot, not once per process.
+    """
+    import hashlib
+    import pathlib
+    import subprocess
+    import sys
+    import tempfile
+
+    sig = hashlib.sha1(
+        repr(
+            sorted(
+                (k, v)
+                for k, v in _os.environ.items()
+                if k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+            )
+        ).encode()
+    ).hexdigest()[:12]
+    cache = pathlib.Path(tempfile.gettempdir()) / f"gs_hs_probe_{sig}.result"
     try:
-        n = 128
-        x = np.linspace(-1.0, 1.0, n * n, dtype=np.float32).reshape(n, n)
-
-        def k(x_ref, o_ref):
-            o_ref[...] = _hs_scan(x_ref[...], reverse=False, exclusive=True)
-
-        out = pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32)
-        )(jnp.asarray(x))
-        got = np.asarray(out)  # forces lazy relay compile + execution
-        want = np.cumsum(x, axis=0) - x  # exclusive prefix
-        return bool(np.isfinite(got).all() and np.abs(got - want).max() < 1e-3)
+        cached = cache.read_text().strip()
+        if cached in ("0", "1"):
+            return cached == "1"
+    except OSError:
+        pass
+    repo = str(pathlib.Path(__file__).resolve().parents[2])
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC, repo],
+            timeout=300,
+            capture_output=True,
+        )
+        ok = r.returncode == 0
     except Exception:
-        return False
+        ok = False
+    try:
+        cache.write_text("1" if ok else "0")
+    except OSError:
+        pass
+    return ok
 
 
 def _hs_scan(x, *, reverse: bool = False, exclusive: bool = False):

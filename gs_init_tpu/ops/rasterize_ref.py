@@ -39,13 +39,15 @@ def alpha_at(
     pix: jnp.ndarray,  # [P, 2]
     radii: jnp.ndarray | None = None,  # [N] for tile-consistency filtering
     tile_size: int | None = None,
+    extents: jnp.ndarray | None = None,  # [N, 2] per-axis half-extents
 ) -> jnp.ndarray:
     """Per-gaussian per-pixel alpha, [N, P]. Shared semantics with the kernel.
 
     When ``tile_size`` is given, a gaussian only contributes to pixels whose
-    tile intersects its 3-sigma bbox — the same approximation the tile
+    tile intersects its support bbox — the same approximation the tile
     rasterizer (and gsplat's CUDA binning) makes, so the two paths agree
-    bitwise in coverage.
+    bitwise in coverage. The bbox is the elliptical per-axis AABB when
+    ``extents`` is given (what bin_gaussians uses), else the bounding circle.
     """
     dx = pix[None, :, 0] - means2d[:, None, 0]
     dy = pix[None, :, 1] - means2d[:, None, 1]
@@ -56,13 +58,17 @@ def alpha_at(
     ok = valid[:, None] & (sigma >= 0.0) & (alpha >= ALPHA_MIN)
     if tile_size is not None:
         ts = float(tile_size)
-        r = radii.astype(jnp.float32)[:, None]
+        if extents is not None:
+            rx = extents[:, 0].astype(jnp.float32)[:, None]
+            ry = extents[:, 1].astype(jnp.float32)[:, None]
+        else:
+            rx = ry = radii.astype(jnp.float32)[:, None]
         ptx = jnp.floor(pix[None, :, 0] / ts)
         pty = jnp.floor(pix[None, :, 1] / ts)
-        gx0 = jnp.floor((means2d[:, None, 0] - r) / ts)
-        gx1 = jnp.floor((means2d[:, None, 0] + r) / ts)
-        gy0 = jnp.floor((means2d[:, None, 1] - r) / ts)
-        gy1 = jnp.floor((means2d[:, None, 1] + r) / ts)
+        gx0 = jnp.floor((means2d[:, None, 0] - rx) / ts)
+        gx1 = jnp.floor((means2d[:, None, 0] + rx) / ts)
+        gy0 = jnp.floor((means2d[:, None, 1] - ry) / ts)
+        gy1 = jnp.floor((means2d[:, None, 1] + ry) / ts)
         ok = ok & (ptx >= gx0) & (ptx <= gx1) & (pty >= gy0) & (pty <= gy1)
     return jnp.where(ok, alpha, 0.0)
 
@@ -109,16 +115,18 @@ def rasterize_reference(
         [pix_all, jnp.full((pad, 2), -1e6, jnp.float32)], axis=0
     ).reshape(-1, pixel_chunk, 2)
 
-    def render_one(means2d, conics, opac, depths, radii, cols):
+    def render_one(means2d, conics, opac, depths, radii, cols, exts):
         valid = radii > 0
         order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
         means2d, conics = means2d[order], conics[order]
         opac, depths = opac[order], depths[order]
         valid, cols, radii = valid[order], cols[order], radii[order]
+        exts = None if exts is None else exts[order]
 
         def body(pix):
             alpha = alpha_at(
-                means2d, conics, opac, valid, pix, radii, tile_size
+                means2d, conics, opac, valid, pix, radii, tile_size,
+                extents=exts,
             )
             t0 = jnp.ones(pix.shape[0], jnp.float32)
             color, depth, acc, _ = composite_chunk(alpha, cols, depths, t0)
@@ -135,7 +143,8 @@ def rasterize_reference(
         return color, depth, acc
 
     color, depth, acc = jax.vmap(render_one)(
-        proj.means2d, proj.conics, proj.opacities, proj.depths, proj.radii, colors
+        proj.means2d, proj.conics, proj.opacities, proj.depths, proj.radii,
+        colors, proj.extents,
     )
     if backgrounds is not None:
         color = color + (1.0 - acc)[..., None] * backgrounds[:, None, None, :]

@@ -124,6 +124,7 @@ def rasterize(
             pair_capacity,
             chunk=chunk_size,
             reorder_rows=reorder_table,
+            extents=proj.extents,
         )
         table = pack_table(
             means2d, proj.conics, proj.opacities, cam_colors, proj.depths

@@ -84,15 +84,27 @@ def tile_spans(
     width: int,
     height: int,
     tile_size: int,
+    extents: jnp.ndarray | None = None,  # [M, 2] int32 per-axis half-extents
 ):
-    """Inclusive tile ranges [x0, x1] x [y0, y1] per gaussian and pair counts."""
+    """Inclusive tile ranges [x0, x1] x [y0, y1] per gaussian and pair counts.
+
+    ``extents`` (projection.Projected.extents) gives the ellipse's per-axis
+    AABB — strictly tighter than the bounding circle ``radii`` for any
+    anisotropic gaussian while covering the same level set, so every
+    pair-proportional cost downstream (pack gathers, sorts, both Pallas
+    kernels) shrinks with it. Falls back to the circle when absent.
+    """
     num_tx = -(-width // tile_size)
     num_ty = -(-height // tile_size)
-    r = radii.astype(jnp.float32)
-    x0 = jnp.floor((means2d[:, 0] - r) / tile_size).astype(jnp.int32)
-    x1 = jnp.floor((means2d[:, 0] + r) / tile_size).astype(jnp.int32)
-    y0 = jnp.floor((means2d[:, 1] - r) / tile_size).astype(jnp.int32)
-    y1 = jnp.floor((means2d[:, 1] + r) / tile_size).astype(jnp.int32)
+    if extents is not None:
+        rx = extents[:, 0].astype(jnp.float32)
+        ry = extents[:, 1].astype(jnp.float32)
+    else:
+        rx = ry = radii.astype(jnp.float32)
+    x0 = jnp.floor((means2d[:, 0] - rx) / tile_size).astype(jnp.int32)
+    x1 = jnp.floor((means2d[:, 0] + rx) / tile_size).astype(jnp.int32)
+    y0 = jnp.floor((means2d[:, 1] - ry) / tile_size).astype(jnp.int32)
+    y1 = jnp.floor((means2d[:, 1] + ry) / tile_size).astype(jnp.int32)
     x0 = jnp.clip(x0, 0, num_tx - 1)
     x1 = jnp.clip(x1, 0, num_tx - 1)
     y0 = jnp.clip(y0, 0, num_ty - 1)
@@ -133,6 +145,7 @@ def bin_gaussians(
     pair_capacity: int,
     chunk: int = 128,
     reorder_rows: bool = False,
+    extents: jnp.ndarray | None = None,  # [C, N, 2] int32 (see tile_spans)
 ) -> TileBinning:
     assert pair_capacity % chunk == 0, "pair_capacity must be chunk-aligned"
     c, n = radii.shape
@@ -141,7 +154,8 @@ def bin_gaussians(
     dep = depths.reshape(c * n)
 
     (x0, x1, y0, y1), counts, (ntx, nty) = tile_spans(
-        m2, rad, width, height, tile_size
+        m2, rad, width, height, tile_size,
+        extents=None if extents is None else extents.reshape(c * n, 2),
     )
     tiles_per_cam = ntx * nty
     num_tiles = c * tiles_per_cam
@@ -289,21 +303,39 @@ def segment_reduce_presort(
     where empty segments automatically difference to zero.
     """
     pair_cap = dpre.shape[1]
-    # GS_SEGRED=assoc switches the prefix-sum lowering (hardware A/B knob:
-    # associative_scan blocks the scan, cumsum lowers to log shifted adds).
-    if _os.environ.get("GS_SEGRED") == "assoc":
-        cum = jax.lax.associative_scan(jnp.add, dpre, axis=1)
+    mode = _os.environ.get("GS_SEGRED", "blocked")
+    idx = jnp.minimum(offsets + counts, pair_cap)
+    qi = jnp.maximum(idx - 1, 0)
+    if mode == "blocked" and pair_cap % 256 == 0:
+        # Two-level prefix: a full-width cumsum is log2(cap) ~ 21 shifted
+        # passes over the whole [R, CAP] array; blocking at 256 keeps the
+        # wide passes to log2(256) = 8 within the minor dim plus a
+        # negligible scan over CAP/256 block totals. The boundary lookup
+        # splits into block prefix + intra-block prefix (two cheap gathers).
+        r = dpre.shape[0]
+        blk = dpre.reshape(r, pair_cap // 256, 256)
+        cum_intra = jnp.cumsum(blk, axis=2)
+        block_tot = cum_intra[:, :, -1]
+        block_pref = jnp.cumsum(block_tot, axis=1) - block_tot  # exclusive
+        bi, li = qi // 256, qi % 256
+        flat_pref = block_pref.reshape(r, -1)
+        flat_intra = cum_intra.reshape(r, -1)
+        hi = jnp.take(flat_pref, bi, axis=1) + jnp.take(
+            flat_intra, bi * 256 + li, axis=1
+        )
     else:
-        cum = jnp.cumsum(dpre, axis=1)
+        # GS_SEGRED=assoc/cumsum switch the prefix-sum lowering (hardware
+        # A/B knobs: associative_scan blocks the scan, cumsum lowers to log
+        # shifted adds).
+        if mode == "assoc":
+            cum = jax.lax.associative_scan(jnp.add, dpre, axis=1)
+        else:
+            cum = jnp.cumsum(dpre, axis=1)
+        hi = jnp.take(cum, qi, axis=1, mode="clip")
     # hi[g] = sum of the first (offsets[g] + counts[g]) elements; then
     # hi[g-1] = sum of the first offsets[g] elements, so the difference is
     # exactly segment g (empty segments difference to zero).
-    idx = jnp.minimum(offsets + counts, pair_cap)
-    hi = jnp.where(
-        (idx > 0)[None, :],
-        jnp.take(cum, jnp.maximum(idx - 1, 0), axis=1, mode="clip"),
-        0.0,
-    )
+    hi = jnp.where((idx > 0)[None, :], hi, 0.0)
     prev = jnp.concatenate([jnp.zeros_like(hi[:, :1]), hi[:, :-1]], axis=1)
     return (hi - prev).T
 

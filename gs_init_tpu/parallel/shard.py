@@ -165,6 +165,7 @@ def make_sharded_train_step(
         radii = gather(proj.radii)
         opac2d = gather(proj.opacities)
         colors = gather(colors)
+        extents = gather(proj.extents)
 
         overflow = jnp.int32(0)
         pairs = jnp.int32(0)
@@ -173,6 +174,7 @@ def make_sharded_train_step(
                 means2d, radii, depths, width, height,
                 cfg.tile_size, cfg.pair_capacity, chunk=cfg.chunk_size,
                 reorder_rows=getattr(cfg, "reorder_table", False),
+                extents=extents,
             )
             overflow = binning.overflow
             pairs = binning.tile_starts[-1]
@@ -199,7 +201,7 @@ def make_sharded_train_step(
         else:
             full = Projected(
                 means2d=means2d, conics=conics, depths=depths,
-                radii=radii, opacities=opac2d,
+                radii=radii, opacities=opac2d, extents=extents,
             )
             color, alpha, depth_acc = rasterize_reference(
                 full, colors, width, height, tile_size=cfg.tile_size
@@ -489,15 +491,18 @@ def make_band_sharded_train_step(
         radii = gather(proj.radii)
         opac2d = gather(proj.opacities)
         colors = gather(colors)
+        extents = gather(proj.extents)
 
         # Band-local frame: shift screen y, cull gaussians whose footprint
         # misses this device's tile-row band (clipped tile spans would
-        # otherwise re-admit every off-band gaussian).
+        # otherwise re-admit every off-band gaussian). The y test uses the
+        # elliptical y-extent — same support bound binning uses.
         y0 = (di * band_h).astype(jnp.float32)
-        rf = radii.astype(jnp.float32)
+        rf = extents[..., 1].astype(jnp.float32)
         my = means2d[..., 1]
         in_band = (my + rf >= y0) & (my - rf < y0 + band_h)
         radii_b = jnp.where(in_band, radii, 0)
+        extents_b = jnp.where(in_band[..., None], extents, 0)
         means2d_b = means2d - jnp.stack(
             [jnp.zeros_like(y0), y0]
         ).reshape(1, 1, 2)
@@ -509,6 +514,7 @@ def make_band_sharded_train_step(
                 means2d_b, radii_b, depths, width, band_h,
                 cfg.tile_size, cfg.pair_capacity, chunk=cfg.chunk_size,
                 reorder_rows=getattr(cfg, "reorder_table", False),
+                extents=extents_b,
             )
             overflow = binning.overflow
             pairs = binning.tile_starts[-1]
@@ -535,7 +541,7 @@ def make_band_sharded_train_step(
         else:
             band = Projected(
                 means2d=means2d_b, conics=conics, depths=depths,
-                radii=radii_b, opacities=opac2d,
+                radii=radii_b, opacities=opac2d, extents=extents_b,
             )
             color, alpha, depth_acc = rasterize_reference(
                 band, colors, width, band_h, tile_size=cfg.tile_size

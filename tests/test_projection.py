@@ -123,3 +123,81 @@ def test_sh_grad_flows():
     g = jax.grad(lambda s: sh_to_color(s, dirs, 3).sum())(sh)
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_extents_bound_level_set():
+    """The elliptical per-axis extents (used by tile binning) must (a) never
+    exceed the bounding-circle radius, (b) still contain the full n-sigma
+    level set of the blurred covariance — the marginal bound argument in
+    projection.py. Verified against a dense numpy sweep of boundary points."""
+    rng = np.random.default_rng(3)
+    n = 256
+    means = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    means[:, 2] += 5.0
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    scales = np.exp(rng.normal(-2.5, 0.9, (n, 3))).astype(np.float32)
+    opac = (1 / (1 + np.exp(-rng.normal(1.0, 0.5, n)))).astype(np.float32)
+    K = np.array([[200.0, 0, 128], [0, 200.0, 96], [0, 0, 1]], np.float32)
+    view = np.eye(4, dtype=np.float32)
+    proj = project_gaussians(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(view)[None], jnp.asarray(K)[None],
+        256, 192,
+    )
+    radii = np.asarray(proj.radii[0])
+    ext = np.asarray(proj.extents[0])
+    conic = np.asarray(proj.conics[0])
+    op = np.asarray(proj.opacities[0])
+    live = radii > 0
+    assert live.any()
+    # (a) per-axis extents never exceed the circle radius
+    assert (ext[live] <= radii[live, None]).all()
+    # (b) for each live gaussian, points ON the n-sigma ellipse lie inside
+    # the [-ext_x, ext_x] x [-ext_y, ext_y] box (ceil gives the slack).
+    theta = np.linspace(0, 2 * np.pi, 64)
+    a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
+    # invert conic -> covariance
+    det = a * c - b * b
+    cov = np.stack([c / det, -b / det, a / det], 1)  # xx, xy, yy
+    nsig = np.minimum(3.0, np.sqrt(2 * np.log(np.maximum(op * 255.0, 1.0001))))
+    for i in np.nonzero(live)[0][:64]:
+        Sig = np.array([[cov[i, 0], cov[i, 1]], [cov[i, 1], cov[i, 2]]])
+        L = np.linalg.cholesky(Sig)
+        pts = nsig[i] * (L @ np.stack([np.cos(theta), np.sin(theta)]))
+        assert (np.abs(pts[0]) <= ext[i, 0] + 1e-3).all()
+        assert (np.abs(pts[1]) <= ext[i, 1] + 1e-3).all()
+    # anisotropy means the box should be strictly tighter somewhere
+    assert (ext[live] < radii[live, None]).any()
+
+
+def test_extents_shrink_pair_count():
+    """Elliptical binning must produce fewer (never more) pairs than the
+    bounding circle and identical pallas-vs-oracle renders (coverage parity
+    is exercised by the rasterize tests; here just the count invariant)."""
+    from gs_init_tpu.ops.tiles import bin_gaussians
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    means = rng.normal(0, 1.3, (n, 3)).astype(np.float32)
+    means[:, 2] += 5.0
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    scales = np.exp(rng.normal(-2.8, 0.8, (n, 3))).astype(np.float32)
+    opac = (1 / (1 + np.exp(-rng.normal(0.5, 1, n)))).astype(np.float32)
+    K = np.array([[300.0, 0, 192], [0, 300.0, 128], [0, 0, 1]], np.float32)
+    view = np.eye(4, dtype=np.float32)
+    proj = project_gaussians(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(view)[None], jnp.asarray(K)[None],
+        384, 256,
+    )
+    cap = 1 << 18
+    pc = int(bin_gaussians(
+        proj.means2d, proj.radii, proj.depths, 384, 256, 32, cap
+    ).tile_starts[-1])
+    pe = int(bin_gaussians(
+        proj.means2d, proj.radii, proj.depths, 384, 256, 32, cap,
+        extents=proj.extents,
+    ).tile_starts[-1])
+    assert 0 < pe < pc

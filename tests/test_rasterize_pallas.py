@@ -453,3 +453,99 @@ def test_scan_mode_dispatch(monkeypatch):
     monkeypatch.delenv("GS_SCAN")
     monkeypatch.setattr(rz, "_SCAN_MODE", None)
     assert rz._scan_mode() == "hs"  # CPU/interpret: no probe needed
+
+
+def test_scan_mode_probe_is_trace_safe(monkeypatch):
+    """Regression for the round-3 on-chip failure (results/sanity_r3.log):
+    the first _scan_mode() call happens INSIDE the compositor kernel trace
+    (via _prefix_scan), so the hardware probe must not execute jax ops in
+    this process — an eagerly-created probe array leaks into the enclosing
+    jaxpr as a captured constant ("captures constants [f32[128,128]]").
+    Force the probe path on CPU and verify that resolving the mode mid-trace
+    (a) runs the probe, (b) produces a working kernel with no leaked
+    constants, (c) caches the decision."""
+    from gs_init_tpu.ops import rasterize as rz
+
+    monkeypatch.delenv("GS_SCAN", raising=False)
+    monkeypatch.setattr(rz, "_interpret", lambda: False)
+    monkeypatch.setattr(rz, "_SCAN_MODE", None)
+    calls = []
+
+    def fake_probe():
+        # The contract the real subprocess probe satisfies: pure host code.
+        from jax._src import core as _core
+
+        calls.append(_core.trace_state_clean())
+        return False  # probe failure must select the proven trimat lowering
+
+    monkeypatch.setattr(rz, "_probe_hs_scan", fake_probe)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)), jnp.float32)
+
+    @jax.jit
+    def f(x):
+        return rz._prefix_scan(x, exclusive=True)  # resolves mode mid-trace
+
+    got = np.asarray(f(x))
+    want = np.cumsum(np.asarray(x), 0) - np.asarray(x)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert calls == [False]  # probe ran exactly once, inside the trace
+    assert rz._SCAN_MODE == "trimat"
+    # Cached: a second trace must not re-probe.
+    np.asarray(jax.jit(lambda x: rz._prefix_scan(x))(x))
+    assert calls == [False]
+
+
+@pytest.mark.heavy
+def test_probe_subprocess_real():
+    """The real subprocess probe runs end-to-end. On the CPU backend the
+    child's pallas_call has no Mosaic lowering, so the probe must cleanly
+    report failure (rc!=0 → False) rather than raising, and must cache."""
+    import hashlib
+    import tempfile
+    import pathlib
+    from gs_init_tpu.ops import rasterize as rz
+
+    sig = hashlib.sha1(
+        repr(
+            sorted(
+                (k, v)
+                for k, v in os.environ.items()
+                if k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+            )
+        ).encode()
+    ).hexdigest()[:12]
+    cache = pathlib.Path(tempfile.gettempdir()) / f"gs_hs_probe_{sig}.result"
+    if cache.exists():
+        cache.unlink()
+    ok = rz._probe_hs_scan()
+    assert isinstance(ok, bool)
+    assert cache.exists()
+    assert cache.read_text().strip() == ("1" if ok else "0")
+    # Second call must hit the cache (fast path, no subprocess).
+    assert rz._probe_hs_scan() == ok
+
+
+def test_segment_reduce_lowerings_agree(monkeypatch):
+    """blocked (default) / cumsum / assoc segment-reduce lowerings produce
+    the same per-gaussian sums (tiles.segment_reduce_presort)."""
+    from gs_init_tpu.ops import tiles as tz
+
+    r = np.random.default_rng(7)
+    cap, ng = 1024, 37
+    counts = r.integers(0, 9, ng).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    dpre = r.normal(size=(10, cap)).astype(np.float32)
+    # Slots past the last segment are garbage the reduction must ignore.
+    want = np.stack(
+        [dpre[:, o : o + c].sum(1) for o, c in zip(offsets, counts)]
+    )
+    outs = {}
+    for mode in ("blocked", "cumsum", "assoc"):
+        monkeypatch.setenv("GS_SEGRED", mode)
+        outs[mode] = np.asarray(
+            tz.segment_reduce_presort(
+                jnp.asarray(dpre), jnp.asarray(offsets), jnp.asarray(counts)
+            )
+        )[:ng]
+        np.testing.assert_allclose(outs[mode], want, atol=1e-4, err_msg=mode)
