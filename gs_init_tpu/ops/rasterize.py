@@ -4,14 +4,14 @@ TPU-native replacement for gsplat's ``rasterize_to_pixels`` CUDA kernels
 (reference call site runner.py:341-362). Design notes:
 
 * Per-tile front-to-back alpha compositing has no per-gaussian sequential
-  loop: within a chunk of K sorted gaussians the exclusive
-  log-transmittance prefix (and the backward's suffix accumulators) run as
-  **Hillis-Steele shifted-add scans** — log2(K) exact-f32 VPU adds, see
-  ``_prefix_scan`` — while color accumulation stays a ``[K,4]^T @ [K,P]``
+  loop: within a chunk of K sorted gaussians the transmittance recurrence
+  T_k = prod_{j<k}(1-alpha_j) runs as a **multiplicative Hillis-Steele
+  scan** — log2(K) VPU multiplies, no log/exp round trip, see
+  ``_prefix_prod`` — while color accumulation stays a ``[K,4]^T @ [K,P]``
   MXU contraction. CUDA needs warp-serial compositing here; the TPU does
-  not. (Triangular-matrix matmul scans were the v1 design; the scans are
-  cheaper than the Precision.HIGHEST passes the exp()-amplified logs
-  forced on the MXU.)
+  not. (Triangular-matrix matmul scans were the v1 design, kept as the
+  probed fallback; log-space shifted-add scans were v2 — both spent ~2
+  transcendentals per pair-pixel that the product form doesn't.)
 * Pairs arrive **attribute-major** ([PACK_COLS, PAIR_CAP] f32, sorted
   order; see tiles.py) — minor dim = pairs, so XLA does not lane-pad the
   narrow attribute dim and chunk DMA slices are 128-aligned.
@@ -19,12 +19,15 @@ TPU-native replacement for gsplat's ``rasterize_to_pixels`` CUDA kernels
   chunk-aligned windows from ``align_down(start)`` and masks rows outside
   [start, end). Double-buffered DMA with early termination once every pixel
   saturates.
-* Backward traverses chunks back-to-front using the saved final
-  transmittance (same trick as gsplat's backward), emitting per-pair
-  gradient records into **per-tile aligned output slots** (no two grid steps
-  write the same chunk); the reduction to per-gaussian rows is a
-  presort-order cumsum + boundary difference (tiles.segment_reduce_presort),
-  not an XLA scatter-add.
+* Backward traverses chunks FRONT-TO-BACK (unlike gsplat's back-to-front
+  CUDA backward): transmittance follows the forward's own prefix-product
+  recurrence, and the suffix accumulator it would need from the back is
+  recovered as r_tot - prefix, where r_tot = <dL/d(rgbd), rendered rgbd>
+  comes straight from the saved forward outputs. Per-pair gradient records
+  land in **per-tile aligned output slots** (no two grid steps write the
+  same chunk); the reduction to per-gaussian rows is a presort-order
+  cumsum + boundary difference (tiles.segment_reduce_presort), not an XLA
+  scatter-add.
 * ``render_tiles`` fuses pack-gather + compositing into one custom-VJP op so
   the cotangent contract is per-gaussian (table) rather than per-pair.
 * On CPU (tests) the kernels run in Pallas interpret mode.
@@ -63,13 +66,13 @@ from .tiles import (
 ALPHA_MAX = 0.999
 ALPHA_MIN = 1.0 / 255.0
 TERM_EPS = 1e-4
-OUT_ROWS = 8  # r, g, b, acc, depth, T_final, n_chunks_processed, log T_final
+OUT_ROWS = 8  # r, g, b, acc, depth, T_final, n_chunks_processed, (spare)
 ROW_R, ROW_G, ROW_B, ROW_ACC, ROW_DEPTH, ROW_T, ROW_NPROC = 0, 1, 2, 3, 4, 5, 6
-# log T accumulated exactly in log space by the forward: the backward
-# reconstructs per-gaussian transmittance as exp(logT - suffix), which
-# cannot overflow (T_after * exp(+suffix) does at ~128 near-opaque
-# gaussians: exp(88) overflows f32 while T_after underflows).
-ROW_LOGT = 7
+# Row 7 is spare (kept so the output block stays 8-sublane aligned). It
+# used to carry log T_final for the v2 back-to-front backward; the
+# front-to-back backward reconstructs transmittance by the same forward
+# recurrence (prefix products of 1-alpha), which cannot overflow, so no
+# log-space bookkeeping is needed anywhere.
 
 
 def _interpret() -> bool:
@@ -122,16 +125,29 @@ from gs_init_tpu.ops.rasterize import _hs_scan
 
 n = 128
 x = np.linspace(-1.0, 1.0, n * n, dtype=np.float32).reshape(n, n)
+m = np.linspace(0.5, 1.0, n * n, dtype=np.float32).reshape(n, n)
 
-def k(x_ref, o_ref):
+def k(x_ref, m_ref, o_ref, p_ref):
     o_ref[...] = _hs_scan(x_ref[...], reverse=False, exclusive=True)
+    p_ref[...] = _hs_scan(m_ref[...], exclusive=True, mul=True)
 
-out = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32))(
-    jnp.asarray(x)
-)
+out, prod = pl.pallas_call(
+    k,
+    out_shape=[
+        jax.ShapeDtypeStruct((n, n), jnp.float32),
+        jax.ShapeDtypeStruct((n, n), jnp.float32),
+    ],
+)(jnp.asarray(x), jnp.asarray(m))
 got = np.asarray(out)  # forces compile + execution on the real backend
 want = np.cumsum(x, axis=0) - x  # exclusive prefix
-ok = bool(np.isfinite(got).all() and np.abs(got - want).max() < 1e-3)
+gotp = np.asarray(prod)
+wantp = np.cumprod(m, axis=0) / m  # exclusive prefix product
+ok = bool(
+    np.isfinite(got).all()
+    and np.abs(got - want).max() < 1e-3
+    and np.isfinite(gotp).all()
+    and np.abs(gotp - wantp).max() < 1e-3
+)
 sys.exit(0 if ok else 1)
 """
 
@@ -152,12 +168,15 @@ def _probe_hs_scan() -> bool:
     import tempfile
 
     sig = hashlib.sha1(
-        repr(
-            sorted(
-                (k, v)
-                for k, v in _os.environ.items()
-                if k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+        (
+            repr(
+                sorted(
+                    (k, v)
+                    for k, v in _os.environ.items()
+                    if k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+                )
             )
+            + _PROBE_SRC  # probe content versions the cache
         ).encode()
     ).hexdigest()[:12]
     cache = pathlib.Path(tempfile.gettempdir()) / f"gs_hs_probe_{sig}.result"
@@ -184,27 +203,30 @@ def _probe_hs_scan() -> bool:
     return ok
 
 
-def _hs_scan(x, *, reverse: bool = False, exclusive: bool = False):
-    """Hillis-Steele prefix sum of [chunk, P] along axis 0, exact in f32:
-    log2(chunk) shifted VPU adds, off the MXU."""
+def _hs_scan(x, *, reverse: bool = False, exclusive: bool = False, mul: bool = False):
+    """Hillis-Steele prefix sum (or product, ``mul=True``) of [chunk, P]
+    along axis 0: log2(chunk) shifted VPU adds/muls, off the MXU. The
+    identity element (0 for add, 1 for mul) fills the shifted-in rows."""
     n, p = x.shape
-    zrow = jnp.zeros((1, p), x.dtype)
+    op = jnp.multiply if mul else jnp.add
+    ident = jnp.ones if mul else jnp.zeros
+    irow = ident((1, p), x.dtype)
     s = x
     k = 1
     while k < n:
-        z = jnp.zeros((k, p), x.dtype)
+        z = ident((k, p), x.dtype)
         sh = (
             jnp.concatenate([s[k:], z], 0)
             if reverse
             else jnp.concatenate([z, s[:-k]], 0)
         )
-        s = s + sh
+        s = op(s, sh)
         k *= 2
     if exclusive:
         s = (
-            jnp.concatenate([s[1:], zrow], 0)
+            jnp.concatenate([s[1:], irow], 0)
             if reverse
-            else jnp.concatenate([zrow, s[:-1]], 0)
+            else jnp.concatenate([irow, s[:-1]], 0)
         )
     return s
 
@@ -235,6 +257,25 @@ def _prefix_scan(x, *, reverse: bool = False, exclusive: bool = False):
             preferred_element_type=jnp.float32,
         )
     return _hs_scan(x, reverse=reverse, exclusive=exclusive)
+
+
+def _prefix_prod(om, alpha, *, exclusive: bool = True):
+    """Exclusive prefix PRODUCT of [chunk, P] along axis 0 — the per-pair
+    transmittance recurrence T_k = prod_{j<k} (1 - alpha_j). ``om`` is
+    1-alpha; ``alpha`` is passed too so the log-space fallback can use
+    log1p(-alpha) (log(om) loses ~half the mantissa for alpha near 0).
+
+    Front-to-back products of values in [1-ALPHA_MAX, 1] can only shrink,
+    so there is no overflow hazard in either direction (underflow lands at
+    0, which is the correct limit for a saturated pixel). Default lowering
+    is the multiplicative Hillis-Steele scan; the trimat fallback computes
+    the same thing through log space on the MXU (exp of a triangular-matmul
+    prefix of log1p(-alpha)) — also safe, since exp of a non-positive
+    prefix stays <= 1."""
+    if _scan_mode() == "trimat":
+        logs = jnp.log1p(-alpha)
+        return jnp.exp(_prefix_scan(logs, exclusive=exclusive))
+    return _hs_scan(om, exclusive=exclusive, mul=True)
 
 
 def _alpha_terms(d, px, py, lo, hi, chunk):
@@ -299,7 +340,7 @@ def _fwd_kernel(
         dma(0, 0).start()
 
     def body(carry):
-        i, tcur, lt, _ = carry
+        i, tcur, _ = carry
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < nchunks)
@@ -310,9 +351,12 @@ def _fwd_kernel(
         d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS]
         base = c0 + i * chunk
         alpha, _ = _alpha_terms(d, px, py, start - base, end - base, chunk)
-        logs = jnp.log1p(-alpha)
-        excl = _prefix_scan(logs, exclusive=True)
-        w = alpha * tcur * jnp.exp(excl)  # [chunk, P]
+        om = 1.0 - alpha
+        # Transmittance before each pair = running T x exclusive prefix
+        # product of (1 - alpha) — the forward recurrence itself, no
+        # log/exp round trip (products of values <= 1 cannot overflow).
+        pexcl = _prefix_prod(om, alpha, exclusive=True)
+        w = alpha * tcur * pexcl  # [chunk, P]
         rgbd = d[:, PACK_R : PACK_DEPTH + 1]  # [chunk, 4] r,g,b,depth
         contrib = jax.lax.dot_general(
             rgbd, w, (((0,), (0,)), ((), ())),
@@ -320,20 +364,17 @@ def _fwd_kernel(
         )  # [4, P]
         out_ref[0, ROW_R : ROW_B + 1, :] += contrib[0:3]
         out_ref[0, ROW_DEPTH, :] += contrib[3]
-        s = jnp.sum(logs, axis=0, keepdims=True)
-        tnew = tcur * jnp.exp(s)
+        tnew = tcur * (pexcl[chunk - 1 :] * om[chunk - 1 :])
         alive = jnp.max(tnew) > TERM_EPS
-        return i + 1, tnew, lt + s, alive
+        return i + 1, tnew, alive
 
     def cond(carry):
-        i, _, _, alive = carry
+        i, _, alive = carry
         return (i < nchunks) & alive
 
     tinit = jnp.ones((1, pixels), jnp.float32)
-    i_end, tfin, ltfin, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), tinit, jnp.zeros((1, pixels), jnp.float32),
-         jnp.bool_(True)),
+    i_end, tfin, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tinit, jnp.bool_(True))
     )
 
     # Early termination leaves the prefetched next chunk's DMA in flight;
@@ -344,7 +385,6 @@ def _fwd_kernel(
 
     out_ref[0, ROW_ACC, :] = 1.0 - tfin[0]
     out_ref[0, ROW_T, :] = tfin[0]
-    out_ref[0, ROW_LOGT, :] = ltfin[0]
     out_ref[0, ROW_NPROC, :] = jnp.full((pixels,), 1.0, jnp.float32) * i_end.astype(
         jnp.float32
     )
@@ -372,11 +412,22 @@ def _bwd_kernel(
     # dL/dalpha_k contribution of the T_N path is (g_acc - g_T) T_N/(1-a_k).
     g_tn = gout_ref[0, ROW_ACC : ROW_ACC + 1, :] - gout_ref[0, ROW_T : ROW_T + 1, :]
     tfin = fwdout_ref[0, ROW_T : ROW_T + 1, :]  # [1, P]
-    # log T_final accumulated by the forward: transmittance reconstruction
-    # runs in log space (exp(lt - suf) <= 1 by construction), immune to the
-    # T_after-underflow x exp-overflow blowup of the multiplicative form.
-    lt_fin = fwdout_ref[0, ROW_LOGT : ROW_LOGT + 1, :]
     gt = g_tn * tfin  # loop-invariant piece of the dL/dalpha T_N path
+    # Total u = sum_k q_k w_k over every composited pair equals the
+    # cotangent-weighted rendered color/depth (w_k c_k sums to the render),
+    # so the suffix sums the traversal needs are available FRONT-TO-BACK:
+    # r_in[k] = r_tot - prefix. Transmittance then follows the forward's
+    # own prefix-product recurrence — no log-space reconstruction, no
+    # overflow (see _prefix_prod), and one traversal direction shared with
+    # the forward.
+    out_rgbd = jnp.concatenate(
+        [
+            fwdout_ref[0, ROW_R : ROW_B + 1, :],
+            fwdout_ref[0, ROW_DEPTH : ROW_DEPTH + 1, :],
+        ],
+        axis=0,
+    )  # [4, P]
+    r_tot = jnp.sum(g_rgbd * out_rgbd, axis=0, keepdims=True)  # [1, P]
     # Chunks the forward never composited (early termination at T < eps)
     # have EXACTLY zero gradient w.r.t. the forward as computed — skip their
     # compute entirely and only zero-fill their record slots below.
@@ -445,32 +496,30 @@ def _bwd_kernel(
     def _():
         wdma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
 
-    # Back-to-front traversal over the PROCESSED chunks only; reads
-    # double-buffered, writes overlapped.
+    # Front-to-back traversal over the PROCESSED chunks only (same
+    # direction as the forward); reads double-buffered, writes overlapped.
     @pl.when(nproc > 0)
     def _():
-        rdma(nproc - 1, jax.lax.rem(nproc - 1, 2)).start()
+        rdma(0, 0).start()
 
-    def body(rev, carry):
-        lt_after, r_after = carry
-        i = nproc - 1 - rev
+    def body(i, carry):
+        tcur, rrem = carry  # T before this chunk; sum of u over chunks >= i
         slot = jax.lax.rem(i, 2)
 
-        @pl.when(i - 1 >= 0)
+        @pl.when(i + 1 < nproc)
         def _():
-            rdma(i - 1, jax.lax.rem(i - 1, 2)).start()
+            rdma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
         rdma(i, slot).wait()
         d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS]
         base = c0 + i * chunk
 
         alpha, aux = _alpha_terms(d, px, py, start - base, end - base, chunk)
-        logs = jnp.log1p(-alpha)
-        inv1m = 1.0 / (1.0 - alpha)
-        # Transmittance before each gaussian: T_k = exp(lt_after - suffix);
-        # clamped at 0 since float error could push the exponent positive.
-        suf = _prefix_scan(logs, reverse=True)
-        tk = jnp.exp(jnp.minimum(lt_after - suf, 0.0))
+        om = 1.0 - alpha
+        inv1m = 1.0 / om
+        # Transmittance before each gaussian: the forward recurrence.
+        pexcl = _prefix_prod(om, alpha, exclusive=True)
+        tk = tcur * pexcl
         w = alpha * tk
         rgbd = d[:, PACK_R : PACK_DEPTH + 1]  # [chunk, 4]
         q = jax.lax.dot_general(
@@ -478,10 +527,11 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )  # [chunk, P] = sum_ch c_ch * g_ch + d * g_d
         u = q * w
-        # r_in[k] = sum_{j>k} u[j] + r_after: same exclusive reverse scan
-        # shape as the transmittance suffix — the last O(chunk^2) matmul in
-        # the kernel, now O(chunk log chunk) VPU adds.
-        r_in = _prefix_scan(u, reverse=True, exclusive=True) + r_after
+        usum = jnp.sum(u, axis=0, keepdims=True)
+        rnext = rrem - usum  # sum of u over chunks > i
+        # r_in[k] = sum_{j>k} u[j]: exact reverse scan within the chunk,
+        # r_tot-minus-prefix across chunks.
+        r_in = _prefix_scan(u, reverse=True, exclusive=True) + rnext
         dalpha = q * tk - (r_in - gt) * inv1m
 
         # Chain through alpha -> (opacity, conic, mean2d); clamped/skipped
@@ -523,32 +573,31 @@ def _bwd_kernel(
             parts.append(jnp.zeros((chunk, PACK_COLS - 12), jnp.float32))
         grec = jnp.concatenate(parts, axis=1)
         # Reuse of a gbuf slot must wait for its previous write to drain.
-        @pl.when(rev >= 2)
+        @pl.when(i >= 2)
         def _():
-            wdma(i + 2, slot).wait()
+            wdma(i - 2, slot).wait()
 
         gbuf[slot] = jnp.transpose(grec)
         wdma(i, slot).start()
 
-        lt_next = lt_after - jnp.sum(logs, axis=0, keepdims=True)
-        r_next = r_after + jnp.sum(u, axis=0, keepdims=True)
-        return lt_next, r_next
+        tnext = tcur * (pexcl[chunk - 1 :] * om[chunk - 1 :])
+        return tnext, rnext
 
     jax.lax.fori_loop(
         0,
         nproc,
         body,
-        (lt_fin, jnp.zeros((1, pixels), jnp.float32)),
+        (jnp.ones((1, pixels), jnp.float32), r_tot),
     )
 
-    # Drain outstanding writes (the last two chunks processed are i=1, i=0).
+    # Drain outstanding writes (the last two chunks processed).
     @pl.when(nproc >= 2)
     def _():
-        wdma(1, 1).wait()
+        wdma(nproc - 2, jax.lax.rem(nproc - 2, 2)).wait()
 
     @pl.when(nproc >= 1)
     def _():
-        wdma(0, 0).wait()
+        wdma(nproc - 1, jax.lax.rem(nproc - 1, 2)).wait()
 
 
 @functools.partial(

@@ -43,7 +43,15 @@ def run(n, width, height, pair_cap=None, steps=6):
         tile_size=int(os.environ.get("GS_BENCH_TILE", 32)),
         chunk_size=int(os.environ.get("GS_BENCH_CHUNK", 128)),
     )
-    gstate = init_from_points(jnp.asarray(pts), jnp.asarray(rgbs), cap, 3)
+    # Same guard as bench.py: the O(N^2) init kNN exceeds the relay's
+    # program watchdog past ~1M points (a 3M run crashed the TPU worker);
+    # pin the equivalent constant instead (density^-1/3 scaling).
+    fixed = (
+        0.0609 * float((n / 300_000.0) ** (-1.0 / 3.0)) if n > 1_000_000 else None
+    )
+    gstate = init_from_points(
+        jnp.asarray(pts), jnp.asarray(rgbs), cap, 3, fixed_scale=fixed
+    )
     adam = init_adam_state(gstate.params)
     acfg = make_adam_config(cfg, scene_scale=4.0)
     sstate = dstrat.init_state(cap)

@@ -507,12 +507,15 @@ def test_probe_subprocess_real():
     from gs_init_tpu.ops import rasterize as rz
 
     sig = hashlib.sha1(
-        repr(
-            sorted(
-                (k, v)
-                for k, v in os.environ.items()
-                if k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+        (
+            repr(
+                sorted(
+                    (k, v)
+                    for k, v in os.environ.items()
+                    if k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+                )
             )
+            + rz._PROBE_SRC  # probe content versions the cache
         ).encode()
     ).hexdigest()[:12]
     cache = pathlib.Path(tempfile.gettempdir()) / f"gs_hs_probe_{sig}.result"
