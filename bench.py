@@ -71,7 +71,7 @@ def main():
     )
     cfg.pair_capacity = int(_os.environ.get("GS_BENCH_PAIR_CAP", cfg.pair_capacity))
     cfg.reorder_table = bool(int(_os.environ.get("GS_BENCH_REORDER", 0)))
-    cfg.sort_bf16 = bool(int(_os.environ.get("GS_BENCH_SORT_BF16", 0)))
+    cfg.sort_bf16 = bool(int(_os.environ.get("GS_BENCH_SORT_BF16", 1)))
     # Snug-cap cache: remembers the right-sized pair capacity per scenario
     # so later invocations (e.g. the driver's) compile exactly once.
     _cache_path = _os.path.join(_os.path.dirname(__file__), ".bench_cap_cache.json")

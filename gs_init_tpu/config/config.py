@@ -340,7 +340,10 @@ class Config:
     reorder_table: bool = False
     # Pack the backward gradient-record sort's payload columns as bf16
     # pairs (half the sort traffic; ~0.2% per-pair gradient rounding noise).
-    sort_bf16: bool = False
+    # Default ON: measured +5% steps/s at 300k and +6.6% at 3M gaussians on
+    # TPU v5e with no visible quality impact (grads-close + train-smoke
+    # tests); set False for exact-f32 gradient records.
+    sort_bf16: bool = True
     # Use the Pallas tile kernel ("pallas") or the pure-XLA reference
     # compositor ("xla", used on CPU/tests and tiny scenes).
     rasterizer_impl: Literal["auto", "pallas", "xla"] = "auto"
