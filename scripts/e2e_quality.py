@@ -202,6 +202,19 @@ def main():
             init_type, data_dir, scene, args.steps, rdir, impl=args.impl
         )
         print(json.dumps(results[init_type], indent=2, default=float), flush=True)
+        # Incremental checkpoint: a wall-clock cutoff mid-run must not
+        # discard the phases that DID finish (round-4 lesson — the sfm
+        # phase alone is already full-scale on-chip evidence).
+        with open("E2E_QUALITY.json", "w") as f:
+            json.dump(
+                {
+                    "scenario": f"PARTIAL ({init_type} phase done) "
+                    f"{args.scenario} {args.width}x{args.height}",
+                    "steps": args.steps,
+                    "results": results,
+                },
+                f, indent=2, default=float,
+            )
 
     desc = (
         f"synthetic {args.scenario} {args.width}x{args.height} / "
