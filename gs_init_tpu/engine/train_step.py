@@ -128,6 +128,7 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
                 (batch.pixels.shape[0], 1),
             )
 
+        sh_mask = None
         if cfg.app_opt and aux.app is not None:
             centers = c2w[:, :3, 3]
             dirs = params.means[None, :, :] - centers[:, None, :]
@@ -140,9 +141,16 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
             colors = jax.nn.sigmoid(resid + params.sh0[None, :, 0, :])
             sh_degree_arg = None
         else:
-            sh = params.sh_coeffs()
-            mask = sh_coeff_mask(step, cfg.sh_degree, cfg.sh_degree_interval)
-            colors = sh.at[:, 1:, :].multiply(mask[None, :, None])
+            colors = params.sh_coeffs()
+            # Degree schedule rides the SH BASIS inside rasterize (a [K]
+            # mask) — masking the [N, K, 3] coefficients here cost a
+            # full-buffer copy + VJP every step (~1.4 ms at garden scale).
+            sh_mask = jnp.concatenate(
+                [
+                    jnp.ones((1,), jnp.float32),
+                    sh_coeff_mask(step, cfg.sh_degree, cfg.sh_degree_interval),
+                ]
+            )
             sh_degree_arg = cfg.sh_degree
 
         render, alpha, info = rasterize(
@@ -156,6 +164,7 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
             width,
             height,
             sh_degree=sh_degree_arg,
+            sh_mask=sh_mask,
             backgrounds=bkgd,
             alive=alive,
             means2d_dummy=dummy,

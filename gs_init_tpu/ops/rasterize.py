@@ -281,18 +281,19 @@ def _prefix_prod(om, alpha, *, exclusive: bool = True):
 def _alpha_terms(d, px, py, lo, hi, chunk):
     """Shared fwd/bwd per-chunk alpha computation. d: [chunk, PACK_COLS];
     rows with index outside [lo, hi) (this tile's pairs within the aligned
-    window) are masked out."""
+    window) are masked out. The packed diagonal conic entries arrive
+    PRE-HALVED (tiles.pack_table), so sigma needs no 0.5 scaling pass."""
     mx = d[:, PACK_MX : PACK_MX + 1]
     my = d[:, PACK_MY : PACK_MY + 1]
-    ca = d[:, PACK_CA : PACK_CA + 1]
+    ca = d[:, PACK_CA : PACK_CA + 1]  # = 0.5 * conic_a
     cb = d[:, PACK_CB : PACK_CB + 1]
-    cc = d[:, PACK_CC : PACK_CC + 1]
+    cc = d[:, PACK_CC : PACK_CC + 1]  # = 0.5 * conic_c
     opa = d[:, PACK_OPA : PACK_OPA + 1]
     k = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     inrange = (k >= lo) & (k < hi)
     dx = px - mx  # [chunk, P]
     dy = py - my
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    sigma = ca * dx * dx + cc * dy * dy + cb * dx * dy
     e = jnp.exp(-sigma)
     araw = opa * e
     ok = inrange & (sigma >= 0.0) & (araw >= ALPHA_MIN)
@@ -300,7 +301,7 @@ def _alpha_terms(d, px, py, lo, hi, chunk):
     unclamped = ok & (araw <= ALPHA_MAX)
     return alpha, dict(
         dx=dx, dy=dy, e=e, araw=araw, unclamped=unclamped,
-        ca=ca, cb=cb, cc=cc,
+        ca=ca, cb=cb, cc=cc, opa=opa,
     )
 
 
@@ -412,7 +413,9 @@ def _bwd_kernel(
     # dL/dalpha_k contribution of the T_N path is (g_acc - g_T) T_N/(1-a_k).
     g_tn = gout_ref[0, ROW_ACC : ROW_ACC + 1, :] - gout_ref[0, ROW_T : ROW_T + 1, :]
     tfin = fwdout_ref[0, ROW_T : ROW_T + 1, :]  # [1, P]
-    gt = g_tn * tfin  # loop-invariant piece of the dL/dalpha T_N path
+    gt = g_tn * tfin  # loop-invariant piece of the dL/dalpha T_N path;
+    # folded into the suffix carry below (rrem starts at r_tot - gt), so
+    # the loop never spends a [chunk, P] pass subtracting it.
     # Total u = sum_k q_k w_k over every composited pair equals the
     # cotangent-weighted rendered color/depth (w_k c_k sums to the render),
     # so the suffix sums the traversal needs are available FRONT-TO-BACK:
@@ -528,11 +531,11 @@ def _bwd_kernel(
         )  # [chunk, P] = sum_ch c_ch * g_ch + d * g_d
         u = q * w
         usum = jnp.sum(u, axis=0, keepdims=True)
-        rnext = rrem - usum  # sum of u over chunks > i
+        rnext = rrem - usum  # sum of (u - gt-share) over chunks > i
         # r_in[k] = sum_{j>k} u[j]: exact reverse scan within the chunk,
-        # r_tot-minus-prefix across chunks.
+        # r_tot-minus-prefix across chunks. rrem carries the -gt fold.
         r_in = _prefix_scan(u, reverse=True, exclusive=True) + rnext
-        dalpha = q * tk - (r_in - gt) * inv1m
+        dalpha = q * tk - r_in * inv1m
 
         # Chain through alpha -> (opacity, conic, mean2d); clamped/skipped
         # entries get zero gradient (matches the oracle's autodiff).
@@ -541,23 +544,26 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )  # [chunk, 4] = (dr, dg, db, ddepth)
         live = aux["unclamped"]
-        e = jnp.where(live, aux["e"], 0.0)
-        dopa = jnp.sum(dalpha * e, axis=1, keepdims=True)
-        dsig = -dalpha * jnp.where(live, aux["araw"], 0.0)
+        de = dalpha * jnp.where(live, aux["e"], 0.0)
+        dopa = jnp.sum(de, axis=1, keepdims=True)
+        # dsig = -dalpha * araw_live = de * (-opa): shares the de product.
+        dsig = de * (-aux["opa"])
         dx, dy = aux["dx"], aux["dy"]
         # Moment form: the five conic/mean gradients share the weighted
         # first/second moments of (dx, dy) under dsig — 5 products + 5
         # reduces instead of ~16 per-pixel ops, and the mean gradients
-        # become [chunk, 1] math on the first moments.
+        # become [chunk, 1] math on the first moments. The packed diagonal
+        # conics are pre-halved, so d(0.5a) = sum dsx*dx directly and the
+        # mean chain uses 2*ca = original conic_a.
         dsx = dsig * dx
         dsy = dsig * dy
-        dca = 0.5 * jnp.sum(dsx * dx, axis=1, keepdims=True)
+        dca = jnp.sum(dsx * dx, axis=1, keepdims=True)
         dcb = jnp.sum(dsx * dy, axis=1, keepdims=True)
-        dcc = 0.5 * jnp.sum(dsy * dy, axis=1, keepdims=True)
+        dcc = jnp.sum(dsy * dy, axis=1, keepdims=True)
         sx = jnp.sum(dsx, axis=1, keepdims=True)
         sy = jnp.sum(dsy, axis=1, keepdims=True)
-        dmx = -(aux["ca"] * sx + aux["cb"] * sy)
-        dmy = -(aux["cc"] * sy + aux["cb"] * sx)
+        dmx = -(2.0 * aux["ca"] * sx + aux["cb"] * sy)
+        dmy = -(2.0 * aux["cc"] * sy + aux["cb"] * sx)
 
         # Tag each record with its gaussian id + in-range validity so the
         # XLA side can sort records by gaussian for the segment reduction.
@@ -587,7 +593,7 @@ def _bwd_kernel(
         0,
         nproc,
         body,
-        (jnp.ones((1, pixels), jnp.float32), r_tot),
+        (jnp.ones((1, pixels), jnp.float32), r_tot - gt),
     )
 
     # Drain outstanding writes (the last two chunks processed).
@@ -770,7 +776,13 @@ def _render_bwd(
         packed_ops = tuple(
             pack2(records[2 * i], records[2 * i + 1]) for i in range(5)
         )
-        sorted_ops = jax.lax.sort((key,) + packed_ops, num_keys=1)
+        # is_stable=False: a stable sort carries an extra iota payload
+        # through every comparator round; record order within a gaussian's
+        # segment only permutes the fp summation order. (Safe only because
+        # invalid-key payloads are zeroed after the sort — see below.)
+        sorted_ops = jax.lax.sort(
+            (key,) + packed_ops, num_keys=1, is_stable=False
+        )
 
         def unpack2(p):
             u = p.astype(jnp.uint32)
@@ -789,8 +801,19 @@ def _render_bwd(
         dpre = jnp.stack(cols[:n_base], axis=0)  # [R, CAP_PAD]
     else:
         ops = tuple(records[i] for i in range(n_base))
-        sorted_ops = jax.lax.sort((key,) + ops, num_keys=1)
+        sorted_ops = jax.lax.sort(
+            (key,) + ops, num_keys=1, is_stable=False
+        )
         dpre = jnp.stack(sorted_ops[1:], axis=0)  # [R, CAP_PAD]
+    # Zero every invalid-key column: the NEVER-WRITTEN slots past
+    # out_starts[-1] hold raw HBM garbage (often NaN). A stable sort
+    # incidentally kept them at the very end (their original positions are
+    # maximal among the int32-max keys), but an unstable sort interleaves
+    # them with the written-invalid records, so one NaN lands inside an
+    # early 256-block of the segment reduction and its exclusive
+    # block-prefix (cumsum(tot) - tot = NaN - NaN) poisons EVERY gaussian's
+    # gradient. Masking here makes the reduction sort-order-independent.
+    dpre = jnp.where(sorted_ops[0][None, :] != jnp.int32(2**31 - 1), dpre, 0.0)
     if want_absgrad:
         # |dmx|, |dmy| ride the same permutation as dmx/dmy — take abs of
         # the sorted columns instead of sorting two extra payload columns.
@@ -826,10 +849,15 @@ render_tiles.defvjp(_render_fwd, _render_bwd)
 def unpack_tiles(
     out: jnp.ndarray, num_cams: int, ntx: int, nty: int, tile: int, width: int, height: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """[num_tiles, OUT_ROWS, tile*tile] -> color [C,H,W,3], alpha/depth [C,H,W]."""
-    x = out.reshape(num_cams, nty, ntx, OUT_ROWS, tile, tile)
+    """[num_tiles, OUT_ROWS, tile*tile] -> color [C,H,W,3], alpha/depth [C,H,W].
+
+    Only rows 0..ROW_DEPTH leave the op — slicing the bookkeeping rows
+    (T_final, chunks-processed, spare) BEFORE the tile->raster transpose
+    cuts 3/8 of its bytes."""
+    rows = ROW_DEPTH + 1
+    x = out.reshape(num_cams, nty, ntx, OUT_ROWS, tile, tile)[:, :, :, :rows]
     x = jnp.transpose(x, (0, 3, 1, 4, 2, 5))  # [C, rows, nty, tile, ntx, tile]
-    x = x.reshape(num_cams, OUT_ROWS, nty * tile, ntx * tile)
+    x = x.reshape(num_cams, rows, nty * tile, ntx * tile)
     x = x[:, :, :height, :width]
     color = jnp.transpose(x[:, ROW_R : ROW_B + 1], (0, 2, 3, 1))
     alpha = x[:, ROW_ACC]

@@ -60,6 +60,7 @@ def rasterize(
     pixel_chunk: int = 4096,
     reorder_table: bool = False,
     sort_bf16: bool = False,
+    sh_mask: Optional[jnp.ndarray] = None,  # [num_bases] 0/1 schedule mask
 ):
     """Render gaussians. Returns (render [C,H,W,3|4], alpha [C,H,W,1], info).
 
@@ -98,7 +99,8 @@ def rasterize(
         centers = -jnp.einsum("cji,cj->ci", viewmats[:, :3, :3], viewmats[:, :3, 3])
         dirs = means[None, :, :] - centers[:, None, :]
         cam_colors = sh_to_color(
-            jnp.broadcast_to(colors[None], (num_cams,) + colors.shape), dirs, sh_degree
+            jnp.broadcast_to(colors[None], (num_cams,) + colors.shape),
+            dirs, sh_degree, basis_mask=sh_mask,
         )  # [C, N, 3]
     elif colors.ndim == 2:
         cam_colors = jnp.broadcast_to(colors[None], (num_cams,) + colors.shape)

@@ -75,7 +75,8 @@ def eval_sh_bases(degree: int, dirs: jnp.ndarray) -> jnp.ndarray:
 
 
 def sh_to_color(
-    sh_coeffs: jnp.ndarray, dirs: jnp.ndarray, degree: int
+    sh_coeffs: jnp.ndarray, dirs: jnp.ndarray, degree: int,
+    basis_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Convert SH coefficients to RGB for given view directions.
 
@@ -85,6 +86,10 @@ def sh_to_color(
       degree: active SH degree (coefficients above it are ignored, which
         implements the reference's +1-degree-per-1000-steps schedule,
         runner.py:464, without reshaping buffers).
+      basis_mask: optional [num_bases(degree)] 0/1 schedule mask. Applying
+        it to the BASIS instead of the coefficients keeps the per-step
+        degree schedule out of the [N, K, 3] coefficient buffer (masking
+        coefficients costs a full-buffer copy + its VJP every step).
     Returns:
       [..., 3] RGB in [0, inf) — offset by +0.5 and clamped at 0 as in 3DGS.
     """
@@ -92,6 +97,8 @@ def sh_to_color(
         jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
     )
     basis = eval_sh_bases(degree, n)  # [..., B]
+    if basis_mask is not None:
+        basis = basis * basis_mask
     b = basis.shape[-1]
     color = jnp.einsum("...k,...kc->...c", basis, sh_coeffs[..., :b, :])
     return jnp.maximum(color + 0.5, 0.0)

@@ -188,9 +188,25 @@ def bin_gaussians(
     tile = cam * tiles_per_cam + ty * ntx + tx
     tile = jnp.where(pair_valid, tile, num_tiles)  # sentinel sorts to the end
 
-    tile_s, _, gid_s = jax.lax.sort(
-        (tile, g[:, 2], pair_gid), num_keys=2
-    )
+    # is_stable=False: XLA's stable sort rides an extra iota operand through
+    # every comparator round; equal (tile, depth) keys are exact float-depth
+    # ties whose compositing order is arbitrary anyway.
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    db = 31 - tile_bits
+    if _os.environ.get("GS_PACK_KEY") == "1" and db >= 16:
+        # Experimental single-key sort: tile id and the top db bits of the
+        # positive-float depth pattern share one int32 key (2 sort operands
+        # instead of 3). Depth resolution drops to (db - 9) mantissa bits
+        # (~2^-11 relative at garden scale) — near-coplanar splats may
+        # composite in either order, so this stays opt-in until an e2e
+        # quality run clears it.
+        key = (tile << db) | (g[:, 2] >> (31 - db))
+        key_s, gid_s = jax.lax.sort((key, pair_gid), num_keys=1, is_stable=False)
+        tile_s = key_s >> db
+    else:
+        tile_s, _, gid_s = jax.lax.sort(
+            (tile, g[:, 2], pair_gid), num_keys=2, is_stable=False
+        )
 
     row_order = jnp.zeros((0,), jnp.int32)
     if reorder_rows:
@@ -258,15 +274,21 @@ def pack_table(
     PACK_GID carries the row's own (cam*N + gaussian) id as GID_BIAS-offset
     int32 bits (normal-float encoding — raw bits would be flushed-to-zero
     denormals on TPU) so the backward kernel can tag gradient records for
-    the sort-based per-gaussian reduction."""
+    the sort-based per-gaussian reduction.
+
+    The diagonal conic entries ride PRE-HALVED (0.5a, b, 0.5c): the kernel's
+    per-pair-pixel quadratic becomes a'dx^2 + b dxdy + c'dy^2 with no 0.5
+    scaling pass over [chunk, pixels], and autodiff through this function
+    restores the factor on the conic cotangent for free ([C, N]-scale)."""
     c, n = opacities.shape
     gid_bits = jax.lax.bitcast_convert_type(
         jnp.arange(c * n, dtype=jnp.int32) + GID_BIAS, jnp.float32
     )
+    half_diag = conics * jnp.array([0.5, 1.0, 0.5], conics.dtype)
     return jnp.concatenate(
         [
             means2d.reshape(c * n, 2),
-            conics.reshape(c * n, 3),
+            half_diag.reshape(c * n, 3),
             opacities.reshape(c * n, 1),
             colors.reshape(c * n, 3),
             depths.reshape(c * n, 1),
@@ -278,11 +300,15 @@ def pack_table(
 
 
 def unpack_table_grads(dtable: jnp.ndarray, c: int, n: int):
-    """Split per-gaussian table cotangent back into attribute cotangents."""
+    """Split per-gaussian table cotangent back into attribute cotangents.
+
+    (In the product path this split is done by autodiff through pack_table;
+    the explicit 0.5 here undoes the pre-halved diagonal conic packing.)"""
     d = dtable.reshape(c, n, PACK_COLS)
     return (
         d[..., PACK_MX : PACK_MY + 1],  # dmeans2d [C,N,2]
-        d[..., PACK_CA : PACK_CC + 1],  # dconics [C,N,3]
+        d[..., PACK_CA : PACK_CC + 1]
+        * jnp.array([0.5, 1.0, 0.5], dtable.dtype),  # dconics [C,N,3]
         d[..., PACK_OPA],  # dopacities [C,N]
         d[..., PACK_R : PACK_B + 1],  # dcolors [C,N,3]
         d[..., PACK_DEPTH],  # ddepths [C,N]
@@ -303,9 +329,32 @@ def segment_reduce_presort(
     where empty segments automatically difference to zero.
     """
     pair_cap = dpre.shape[1]
+    # "rowt" (row-direction boundary gathers) measured ~equal to "blocked"
+    # at both 300k and 3M on v5e — the [CAP, R] transpose's lane padding
+    # costs what the fast-direction gather saves — so blocked stays default.
     mode = _os.environ.get("GS_SEGRED", "blocked")
     idx = jnp.minimum(offsets + counts, pair_cap)
     qi = jnp.maximum(idx - 1, 0)
+    if mode == "rowt" and pair_cap % 256 == 0:
+        # Same two-level prefix as "blocked", but the boundary lookups run
+        # in the ROW direction: TPU gathers cost ~4x less per index along
+        # rows ([CAP, R] at qi) than along lanes ([R, CAP] at qi) — the
+        # lane-dim gather was ~10 ms/step at garden scale, the transpose +
+        # row gathers ~3 ms. Output lands directly as [C*N, R].
+        r = dpre.shape[0]
+        blk = dpre.reshape(r, pair_cap // 256, 256)
+        cum_intra = jnp.cumsum(blk, axis=2)
+        block_tot = cum_intra[:, :, -1]
+        block_pref = jnp.cumsum(block_tot, axis=1) - block_tot  # exclusive
+        bi = qi // 256
+        intra_t = cum_intra.reshape(r, -1).T  # [CAP, R]
+        pref_t = block_pref.T  # [num_blocks, R]
+        hi_t = jnp.take(pref_t, bi, axis=0, mode="clip") + jnp.take(
+            intra_t, qi, axis=0, mode="clip"
+        )
+        hi_t = jnp.where((idx > 0)[:, None], hi_t, 0.0)
+        prev_t = jnp.concatenate([jnp.zeros_like(hi_t[:1]), hi_t[:-1]], 0)
+        return hi_t - prev_t
     if mode == "blocked" and pair_cap % 256 == 0:
         # Two-level prefix: a full-width cumsum is log2(cap) ~ 21 shifted
         # passes over the whole [R, CAP] array; blocking at 256 keeps the
