@@ -126,7 +126,7 @@ def main():
     # Right-size the pair capacity from the observed pair count — the same
     # policy the Runner applies in production (auto_pair_capacity).
     pairs = int(out[-1]["pairs"]) + int(out[-1]["overflow"])
-    snug = -(-max(int(pairs * 1.35), 1 << 14) // (1 << 17)) * (1 << 17)
+    snug = -(-max(int(pairs * 1.2), 1 << 14) // (1 << 16)) * (1 << 16)
     print(f"[bench] pairs={pairs} snug_cap={snug}", file=_sys.stderr)
     # Right-size the cap: grow on overflow (an overflowing cap silently
     # drops pairs — the benchmark must process the full workload), shrink
@@ -182,7 +182,7 @@ def main():
     _experiment_knobs = (
         "GS_BENCH_TILE", "GS_BENCH_CHUNK", "GS_BENCH_REORDER",
         "GS_BENCH_SORT_BF16", "GS_BENCH_PAIR_CAP", "GS_SEGRED", "GS_SCAN",
-        "GS_PACK_KEY",
+        "GS_PACK_KEY", "GS_KAB",
     )
     # GS_SCAN doesn't count when pinned by the auto-fallback wrapper itself
     # (GS_BENCH_AUTOSCAN for the hs pin, GS_BENCH_TRIMAT_FALLBACK for the
@@ -203,7 +203,10 @@ def main():
                 _lg = json.load(_f)
         except (OSError, ValueError):
             _lg = {}
-        if _is_default_run or sps > _lg.get(f"{n}", {}).get("value", 0.0):
+        # ONLY default-config runs may record: an experiment row that beats
+        # the default is still not what the driver's own invocation would
+        # measure (and GS_KAB rows deliberately run wrong math).
+        if _is_default_run:
             _lg[f"{n}"] = {
                 "value": round(sps, 3),
                 "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),

@@ -355,11 +355,16 @@ class Runner:
         overflow = int(metrics.get("overflow", 0))
         if pairs <= 0 and overflow <= 0:
             return
-        # Snug cap: 1.35x headroom rounded up to 128k — every binning/sort/
-        # gather pipeline scales with the cap, and pow2 rounding overshot by
-        # up to 2x (PERF.md round-2 trace).
-        gran = 1 << 17
-        want = max(int((pairs + overflow) * 1.35), 1 << 14)
+        # Snug cap: 1.2x headroom over the MAX pair count observed since the
+        # last retune (sampled at tb cadence), rounded up to 64k. The max
+        # absorbs cross-camera variance — retuning from a single camera's
+        # count needed 1.35x blanket headroom, and every binning/sort/gather
+        # pipeline pays for that cap every step. Overflow observed at a
+        # sample grows the cap immediately (train() calls back in).
+        peak = max(getattr(self, "_pairs_max", 0), pairs + overflow)
+        self._pairs_max = 0  # restart the window after each retune decision
+        gran = 1 << 16
+        want = max(int(peak * 1.2), 1 << 14)
         want = -(-want // gran) * gran if want > gran else 1 << (want - 1).bit_length()
         cap = cfg.pair_capacity
         if overflow > 0 and want > cap:
@@ -472,6 +477,18 @@ class Runner:
             metrics = self.train_iteration(step)
             if step % cfg.tb_every == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
+                # Feed the retune policy's cross-camera peak tracker from
+                # the samples we already paid a host sync for; observed
+                # overflow regrows the cap now instead of waiting for the
+                # next refine boundary (overflow silently drops the presort
+                # tail — whole gaussians' pairs).
+                self._pairs_max = max(
+                    getattr(self, "_pairs_max", 0),
+                    int(last_metrics.get("pairs", 0))
+                    + int(last_metrics.get("overflow", 0)),
+                )
+                if last_metrics.get("overflow", 0) > 0:
+                    self._maybe_retune_capacity(metrics, step)
                 w = self.writer
                 for k, v in last_metrics.items():
                     w.add_scalar(f"train/{k}", v, step)
