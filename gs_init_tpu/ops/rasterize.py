@@ -731,22 +731,21 @@ def _render_fwd(
     return out, res
 
 
-def _render_bwd(
-    num_tiles, ntx, nty, tile, chunk, want_depth_grad, want_absgrad,
-    sort_bf16, res, g_out,
+def reduce_records(
+    records, n_written, offsets, counts, pair_cap,
+    *, n_base, want_absgrad, sort_bf16,
 ):
-    packed, row_order, tile_starts, out_starts, offsets, counts, out = res
-    row_order_shape = row_order.shape
-    pair_cap = packed.shape[1]
-    cap_pad = padded_capacity(pair_cap, num_tiles, chunk)
-    records = _composite_bwd_call(
-        packed, tile_starts, out_starts, out, g_out,
-        num_tiles, ntx, nty, tile, chunk, cap_pad,
-    )  # [PACK_COLS, CAP_PAD] per-pair grads in aligned bwd-slot layout
-    # Sort records by the gaussian id they carry; valid pairs land grouped
-    # per gaussian in presort order (gids were assigned in presort order),
-    # garbage slots (never written / masked rows) sort to the end.
-    written = jnp.arange(cap_pad, dtype=jnp.int32) < out_starts[-1]
+    """Per-pair gradient records [PACK_COLS, CAP_PAD] -> per-gaussian sums.
+
+    Sorts records by the gaussian id they carry; valid pairs land grouped
+    per gaussian in presort order (gids were assigned in presort order),
+    garbage slots (never written / masked rows) sort to the end. Returns
+    [C*N, n_base (+2 absgrad)] sums. Robust to arbitrary garbage (incl.
+    NaN/Inf) in slots at/after ``n_written`` and in VALID=0 columns — the
+    hardware leaves raw HBM contents there (see the masking note below).
+    """
+    cap_pad = records.shape[1]
+    written = jnp.arange(cap_pad, dtype=jnp.int32) < n_written
     valid = written & (records[PACK_VALID] > 0.5)
     # GID column carries gid + GID_BIAS as f32 bits (normal-float encoding;
     # see tiles.GID_BIAS). Positive normal floats order like their bit
@@ -757,7 +756,6 @@ def _render_bwd(
         jax.lax.bitcast_convert_type(records[PACK_GID], jnp.int32),
         jnp.int32(2**31 - 1),
     )
-    n_base = 10 if want_depth_grad else 9  # ddepth column optional
     if sort_bf16:
         # Halve the sort's payload traffic: round each gradient column to
         # bf16 and ride PAIRS of columns in one int32 payload (5 packed
@@ -822,7 +820,26 @@ def _render_bwd(
     # tail, so clip the per-gaussian segments to the surviving range.
     offs2 = jnp.minimum(offsets, pair_cap)
     cnt2 = jnp.minimum(offsets + counts, pair_cap) - offs2
-    red = segment_reduce_presort(dpre, offs2, cnt2)  # [C*N, R]
+    return segment_reduce_presort(dpre, offs2, cnt2)  # [C*N, R]
+
+
+def _render_bwd(
+    num_tiles, ntx, nty, tile, chunk, want_depth_grad, want_absgrad,
+    sort_bf16, res, g_out,
+):
+    packed, row_order, tile_starts, out_starts, offsets, counts, out = res
+    row_order_shape = row_order.shape
+    pair_cap = packed.shape[1]
+    cap_pad = padded_capacity(pair_cap, num_tiles, chunk)
+    records = _composite_bwd_call(
+        packed, tile_starts, out_starts, out, g_out,
+        num_tiles, ntx, nty, tile, chunk, cap_pad,
+    )  # [PACK_COLS, CAP_PAD] per-pair grads in aligned bwd-slot layout
+    n_base = 10 if want_depth_grad else 9  # ddepth column optional
+    red = reduce_records(
+        records, out_starts[-1], offsets, counts, pair_cap,
+        n_base=n_base, want_absgrad=want_absgrad, sort_bf16=sort_bf16,
+    )
     dtable = jnp.pad(
         red[:, :n_base], ((0, 0), (0, PACK_COLS - n_base))
     )

@@ -552,3 +552,62 @@ def test_segment_reduce_lowerings_agree(monkeypatch):
             )
         )[:ng]
         np.testing.assert_allclose(outs[mode], want, atol=1e-4, err_msg=mode)
+
+
+def test_reduce_records_garbage_tail_robust(rng):
+    """The record buffer's never-written slots hold raw HBM garbage on
+    hardware (often NaN/Inf); the unstable gid sort interleaves them with
+    written-invalid records, and an unmasked NaN inside any 256-block
+    poisons the blocked segment reduction's exclusive block prefix
+    (cumsum(tot) - tot = NaN - NaN) for EVERY gaussian. reduce_records must
+    return the exact per-gaussian sums regardless of garbage content."""
+    from gs_init_tpu.ops.rasterize import reduce_records
+    from gs_init_tpu.ops.tiles import (
+        GID_BIAS, PACK_COLS, PACK_GID, PACK_VALID,
+    )
+
+    n_gauss, cap_pad, pair_cap = 37, 1024, 512
+    counts = rng.integers(0, 6, n_gauss).astype(np.int32)
+    offsets = np.cumsum(counts) - counts
+    total = int(counts.sum())
+    rec = rng.normal(size=(PACK_COLS, cap_pad)).astype(np.float32)
+    # Valid records for gaussian g occupy slots [2*offsets[g], ...) spread
+    # over the written region with written-invalid rows in between.
+    written = 2 * total + 64
+    rec[PACK_VALID] = 0.0
+    gid_col = np.zeros(cap_pad, np.float32)
+    slot = 0
+    expected = np.zeros((n_gauss, 9), np.float32)
+    for g in range(n_gauss):
+        for _ in range(int(counts[g])):
+            rec[PACK_VALID, slot] = 1.0
+            gid_col[slot] = np.int32(g + GID_BIAS).view(np.float32)
+            expected[g] += rec[:9, slot]
+            slot += 2  # leave a written-invalid row between valid ones
+    rec[PACK_GID] = gid_col
+    # Garbage: NaN/Inf everywhere invalid — written-invalid payloads AND
+    # the never-written tail (including its VALID/GID columns).
+    invalid = np.ones(cap_pad, bool)
+    invalid[: written] = rec[PACK_VALID, :written] < 0.5
+    for r in range(PACK_COLS):
+        if r != PACK_VALID and r != PACK_GID:
+            rec[r, invalid] = np.nan
+        rec[r, written + 1 :: 3] = np.inf  # unwritten: garbage in ALL cols
+    rec[PACK_VALID, written:] = np.nan
+    rec[PACK_GID, written:] = np.nan
+
+    for sort_bf16 in (False, True):
+        red = np.asarray(
+            reduce_records(
+                jnp.asarray(rec), jnp.int32(written),
+                jnp.asarray(offsets), jnp.asarray(counts), pair_cap,
+                n_base=9, want_absgrad=False, sort_bf16=sort_bf16,
+            )
+        )
+        assert np.isfinite(red).all(), f"sort_bf16={sort_bf16}"
+        tol = 2e-2 if sort_bf16 else 1e-5
+        scale = np.abs(expected).max() + 1e-6
+        np.testing.assert_allclose(
+            red[:, :9] / scale, expected / scale, atol=tol,
+            err_msg=f"sort_bf16={sort_bf16}",
+        )
