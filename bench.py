@@ -119,9 +119,11 @@ def main():
     key = jax.random.PRNGKey(0)
     # Warmup: a host fetch is required to force compilation + execution on
     # relayed-TPU environments (block_until_ready can return early there).
+    # The step donates its state inputs, so rebind them from the outputs.
     out = step_fn(
         gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0), key
     )
+    gstate, adam, sstate, aux, aux_opt = out[:5]
     float(out[-1]["loss"])
     # Right-size the pair capacity from the observed pair count — the same
     # policy the Runner applies in production (auto_pair_capacity).

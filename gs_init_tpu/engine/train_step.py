@@ -237,7 +237,10 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
         )
         return loss, auxd
 
-    @jax.jit
+    # Donating the big state trees lets XLA update Adam moments / params /
+    # strategy stats in place instead of allocating fresh buffers each step
+    # (callers rebind the returned state, never reusing the old objects).
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
     def train_step(
         gstate: GaussianState,
         adam: AdamState,

@@ -72,6 +72,7 @@ def run(n, width, height, pair_cap=None, steps=6):
     key = jax.random.PRNGKey(0)
 
     out = step_fn(gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0), key)
+    gstate, adam, sstate, aux, aux_opt = out[:5]  # step donates its inputs
     loss0 = float(out[-1]["loss"])
     pairs = int(out[-1]["pairs"]) + int(out[-1]["overflow"])
     if pair_cap is None:
@@ -82,6 +83,7 @@ def run(n, width, height, pair_cap=None, steps=6):
             out = step_fn(
                 gstate, adam, sstate, aux, aux_opt, batch, jnp.int32(0), key
             )
+            gstate, adam, sstate, aux, aux_opt = out[:5]
             float(out[-1]["loss"])
     print(f"warm loss={loss0:.4f} pairs={pairs} cap={cfg.pair_capacity}")
 

@@ -68,20 +68,22 @@ def _run_pair(cfg_kw, batch_extra=None, mesh_shape=(4, 2), step_val=5):
     key = jax.random.PRNGKey(0)
     aux, aux_opt = AuxParams(), init_aux_opt(AuxParams())
 
-    ref_step = make_train_step(cfg, acfg, scene.width, scene.height)
-    ref = ref_step(gstate, adam, sstate, aux, aux_opt, batch, step, key)
-
     mesh = make_mesh(*mesh_shape)
     band_step = make_band_sharded_train_step(
         cfg, acfg, scene.width, scene.height, mesh
     )
     gauss_s, _, repl_s = shardings(mesh)
+    # Shard copies BEFORE the reference step runs: make_train_step donates
+    # its state inputs, so gstate/adam/sstate buffers die inside ref_step.
     gstate_sh = jax.tree.map(lambda x: jax.device_put(x, gauss_s), gstate)
     adam_sh = jax.tree.map(
         lambda x: jax.device_put(x, gauss_s if x.ndim > 0 else repl_s), adam
     )
     sstate_sh = jax.tree.map(lambda x: jax.device_put(x, gauss_s), sstate)
     batch_sh = jax.tree.map(lambda x: jax.device_put(x, repl_s), batch)
+
+    ref_step = make_train_step(cfg, acfg, scene.width, scene.height)
+    ref = ref_step(gstate, adam, sstate, aux, aux_opt, batch, step, key)
     sh = band_step(
         gstate_sh, adam_sh, sstate_sh, aux, aux_opt, batch_sh, step, key
     )

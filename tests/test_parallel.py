@@ -94,12 +94,11 @@ def _run_pair(cfg_kw, batch_extra=None, mesh_shape=(2, 4), step_val=5):
     aux = _make_aux(cfg, scene)
     aux_opt = init_aux_opt(aux)
 
-    ref_step = make_train_step(cfg, acfg, scene.width, scene.height)
-    ref = ref_step(gstate, adam, sstate, aux, aux_opt, batch, step, key)
-
     mesh = make_mesh(*mesh_shape)
     sh_step = make_sharded_train_step(cfg, acfg, scene.width, scene.height, mesh)
     gauss_s, data_s, repl_s = shardings(mesh)
+    # Shard copies BEFORE the reference step runs: make_train_step donates
+    # its state inputs, so gstate/adam buffers die inside ref_step.
     gstate_sh = jax.tree.map(lambda x: jax.device_put(x, gauss_s), gstate)
     adam_sh = jax.tree.map(
         lambda x: jax.device_put(x, gauss_s if x.ndim > 0 else repl_s), adam
@@ -108,6 +107,9 @@ def _run_pair(cfg_kw, batch_extra=None, mesh_shape=(2, 4), step_val=5):
     sstate_sh = jax.tree.map(lambda x: jax.device_put(x, gauss_s), sstate)
     aux_sh = jax.tree.map(lambda x: jax.device_put(x, repl_s), aux)
     aux_opt_sh = jax.tree.map(lambda x: jax.device_put(x, repl_s), aux_opt)
+
+    ref_step = make_train_step(cfg, acfg, scene.width, scene.height)
+    ref = ref_step(gstate, adam, sstate, aux, aux_opt, batch, step, key)
     sh = sh_step(
         gstate_sh, adam_sh, sstate_sh, aux_sh, aux_opt_sh, batch_sh, step, key
     )
