@@ -273,6 +273,14 @@ class Config:
     global_scale: float = 1.0
     normalize_world_space: bool = True
     camera_model: Literal["pinhole", "ortho", "fisheye"] = "pinhole"
+    # Async input pipeline (reference parity: DataLoader(num_workers=4,
+    # persistent_workers=True, pin_memory=True), runner.py:411-418). A
+    # background thread decodes+undistorts+stacks+device_puts batches ahead
+    # of the train loop; 0 disables prefetch (synchronous path).
+    data_prefetch: int = 2
+    # Decoded-image cache budget (uint8, post-undistort) shared by all
+    # Dataset instances of a Runner; 0 disables caching.
+    image_cache_gb: float = 2.0
 
     # Init
     init_type: Literal["sfm", "random", "monocular_depth"] = "sfm"

@@ -36,8 +36,14 @@ class SimpleAdamState(NamedTuple):
 
 
 def simple_adam_init(params) -> SimpleAdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return SimpleAdamState(mu=zeros, nu=zeros, count=jnp.zeros((), jnp.int32))
+    # mu and nu must be INDEPENDENT zero trees (not two references to one):
+    # the jitted train step donates the optimizer state, and XLA refuses to
+    # donate the same buffer twice in one Execute().
+    return SimpleAdamState(
+        mu=jax.tree.map(jnp.zeros_like, params),
+        nu=jax.tree.map(jnp.zeros_like, params),
+        count=jnp.zeros((), jnp.int32),
+    )
 
 
 def simple_adam_update(
@@ -97,8 +103,12 @@ def make_adam_config(cfg, scene_scale: float, batch_size: int = 1) -> AdamConfig
 
 
 def init_adam_state(params: GaussianParams) -> AdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return AdamState(mu=zeros, nu=zeros, count=jnp.zeros((), jnp.int32))
+    # mu and nu must be INDEPENDENT zero trees — see simple_adam_init.
+    return AdamState(
+        mu=jax.tree.map(jnp.zeros_like, params),
+        nu=jax.tree.map(jnp.zeros_like, params),
+        count=jnp.zeros((), jnp.int32),
+    )
 
 
 def adam_update(

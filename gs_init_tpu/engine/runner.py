@@ -73,6 +73,15 @@ class Runner:
     ):
         self.cfg = cfg
         self._mdi_model = mdi_model
+        # Resolve the Pallas scan lowering NOW, before this process runs its
+        # first jax op: the probe spawns a fresh interpreter that must
+        # initialize the TPU, which fails (or hangs until its timeout) if
+        # this process already holds the single-client chip. bench.py does
+        # the same up-front; resolving it here keeps Runner entrypoints off
+        # the mid-trace probe path.
+        from ..ops.rasterize import _scan_mode
+
+        _scan_mode()
         if parser is None:
             from ..datasets.nerfstudio import open_dataset
 
@@ -472,9 +481,21 @@ class Runner:
             self.start_viewer()
         t0 = time.time()
         last_metrics = {}
+        s_cfg = cfg.strategy
         for step in range(cfg.max_steps):
             self.train_step = step
             metrics = self.train_iteration(step)
+            # Overflow blind-window guard: densify/relocate growth spurts
+            # surface as pair-table overflow on the FIRST step after a
+            # refine, which can sit between tb samples for up to tb_every
+            # steps of silently dropped presort tails. One extra host sync
+            # per refine cycle closes that window.
+            if (
+                step % s_cfg.refine_every == 1
+                and s_cfg.refine_start_iter < step < s_cfg.refine_stop_iter + 2
+                and int(metrics.get("overflow", 0)) > 0
+            ):
+                self._maybe_retune_capacity(metrics, step)
             if step % cfg.tb_every == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 # Feed the retune policy's cross-camera peak tracker from

@@ -34,8 +34,14 @@ class DefaultStrategyState(NamedTuple):
 
 
 def init_state(capacity: int) -> DefaultStrategyState:
-    z = jnp.zeros((capacity,), jnp.float32)
-    return DefaultStrategyState(grad2d=z, count=z, radii_max=z)
+    # Three DISTINCT buffers: the train step donates its state arguments, and
+    # XLA rejects donating the same underlying buffer twice, so leaves must
+    # never alias each other.
+    return DefaultStrategyState(
+        grad2d=jnp.zeros((capacity,), jnp.float32),
+        count=jnp.zeros((capacity,), jnp.float32),
+        radii_max=jnp.zeros((capacity,), jnp.float32),
+    )
 
 
 def update_state(

@@ -109,8 +109,13 @@ def _scan_mode() -> str:
     if env:
         return "trimat" if env == "trimat" else "hs"
     if _SCAN_MODE is None:
-        # Interpret mode (CPU tests) has no Mosaic lowering to probe.
-        _SCAN_MODE = "hs" if (_interpret() or _probe_hs_scan()) else "trimat"
+        # Interpret mode (CPU tests) has no Mosaic lowering to probe. Check
+        # the env pin first so CPU-pinned processes (tests) resolve without
+        # initializing a jax backend at all.
+        if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            _SCAN_MODE = "hs"
+        else:
+            _SCAN_MODE = "hs" if (_interpret() or _probe_hs_scan()) else "trimat"
     return _SCAN_MODE
 
 
@@ -123,6 +128,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from gs_init_tpu.ops.rasterize import _hs_scan
 
+# Exit-code contract: 0 = HS scan OK, 1 = genuine Mosaic/numeric failure
+# (cacheable), 42 = could not even acquire the device / run a trivial op
+# (environment failure — the parent must NOT cache it, or a parent that
+# already holds the single-client TPU would pin the slow lowering for the
+# rest of the boot).
+try:
+    jax.block_until_ready(jnp.zeros((8, 128), jnp.float32) + 1.0)
+except Exception:
+    sys.exit(42)
+
 n = 128
 x = np.linspace(-1.0, 1.0, n * n, dtype=np.float32).reshape(n, n)
 m = np.linspace(0.5, 1.0, n * n, dtype=np.float32).reshape(n, n)
@@ -131,16 +146,19 @@ def k(x_ref, m_ref, o_ref, p_ref):
     o_ref[...] = _hs_scan(x_ref[...], reverse=False, exclusive=True)
     p_ref[...] = _hs_scan(m_ref[...], exclusive=True, mul=True)
 
-out, prod = pl.pallas_call(
-    k,
-    out_shape=[
-        jax.ShapeDtypeStruct((n, n), jnp.float32),
-        jax.ShapeDtypeStruct((n, n), jnp.float32),
-    ],
-)(jnp.asarray(x), jnp.asarray(m))
-got = np.asarray(out)  # forces compile + execution on the real backend
+try:
+    out, prod = pl.pallas_call(
+        k,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+        ],
+    )(jnp.asarray(x), jnp.asarray(m))
+    got = np.asarray(out)  # forces compile + execution on the real backend
+    gotp = np.asarray(prod)
+except Exception:
+    sys.exit(1)
 want = np.cumsum(x, axis=0) - x  # exclusive prefix
-gotp = np.asarray(prod)
 wantp = np.cumprod(m, axis=0) / m  # exclusive prefix product
 ok = bool(
     np.isfinite(got).all()
@@ -194,12 +212,20 @@ def _probe_hs_scan() -> bool:
             capture_output=True,
         )
         ok = r.returncode == 0
+        # Only cache definitive verdicts (0 = ok, 1 = genuine Mosaic
+        # failure). Exit 42 means the child could not acquire the device at
+        # all — e.g. the parent already holds the single-client TPU — and a
+        # timeout may be a transient relay outage; caching either would pin
+        # the slower trimat lowering for the rest of the machine boot.
+        cacheable = r.returncode in (0, 1)
     except Exception:
         ok = False
-    try:
-        cache.write_text("1" if ok else "0")
-    except OSError:
-        pass
+        cacheable = False
+    if cacheable:
+        try:
+            cache.write_text("1" if ok else "0")
+        except OSError:
+            pass
     return ok
 
 
@@ -534,6 +560,12 @@ def _bwd_kernel(
         rnext = rrem - usum  # sum of (u - gt-share) over chunks > i
         # r_in[k] = sum_{j>k} u[j]: exact reverse scan within the chunk,
         # r_tot-minus-prefix across chunks. rrem carries the -gt fold.
+        # Precision note: reconstructing suffixes as r_tot - prefix leaves
+        # ~eps*|r_tot| absolute error in r_in for pairs deep in the
+        # composite (true suffix << r_tot), amplified by inv1m near
+        # ALPHA_MAX. grads-close oracle tolerances hold at current scales
+        # (tests/test_rasterize_pallas.py); if gradient noise appears on
+        # long opaque tiles, carry rrem with a compensated (Kahan) update.
         r_in = _prefix_scan(u, reverse=True, exclusive=True) + rnext
         dalpha = q * tk - r_in * inv1m
 

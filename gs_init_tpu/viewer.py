@@ -16,6 +16,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -53,9 +54,10 @@ class ViewerServer:
     Live-attach parity with the reference's viser/nerfview thread
     (runner.py:302-309, 880-900): ``start()`` runs the HTTP server on a
     daemon thread so the Runner can keep training while views are served
-    from whatever parameter snapshot is current (JAX arrays are immutable,
-    so a concurrent read simply sees the last completed update). Pass
-    ``port=0`` to bind an ephemeral port (tests).
+    from whatever parameter snapshot is current. Because the train step
+    donates its state buffers, a concurrent read can observe a deleted
+    array — the handlers retry against the freshly rebound state (see
+    render_view). Pass ``port=0`` to bind an ephemeral port (tests).
     """
 
     def __init__(self, runner, port: int = 8080, width: int = 640):
@@ -105,9 +107,25 @@ class ViewerServer:
         K = np.array(
             [[0.9 * w, 0, w / 2], [0, 0.9 * w, h / 2], [0, 0, 1]], np.float32
         )
-        with self._lock:
-            color, _, _ = self.runner.render(c2w, K, w, h, render_mode="RGB")
-        return (np.clip(color, 0, 1) * 255).astype(np.uint8)
+        # The train step donates its state buffers, so a render dispatched
+        # against runner.gstate can lose its inputs mid-flight ("Array has
+        # been deleted") if a training step lands concurrently. Re-reading
+        # runner.gstate picks up the freshly rebound state; retry a few
+        # times rather than serializing the viewer against training.
+        last_err = None
+        for _ in range(8):
+            try:
+                with self._lock:
+                    color, _, _ = self.runner.render(
+                        c2w, K, w, h, render_mode="RGB"
+                    )
+                return (np.clip(color, 0, 1) * 255).astype(np.uint8)
+            except RuntimeError as e:
+                if "deleted" not in str(e):
+                    raise
+                last_err = e
+                time.sleep(0.05)
+        raise last_err
 
     def serve_forever(self):
         self._srv = ThreadingHTTPServer(
@@ -152,13 +170,23 @@ class ViewerServer:
                     return
                 if u.path == "/status":
                     # Training progress for the HUD (nerfview shows
-                    # step/num_GS on its overlay).
+                    # step/num_GS on its overlay). Same donated-buffer race
+                    # as /render: retry against the rebound state.
                     from .engine.params import num_alive
 
+                    n_gs = -1
+                    for _ in range(8):
+                        try:
+                            n_gs = int(num_alive(viewer.runner.gstate))
+                            break
+                        except RuntimeError as e:
+                            if "deleted" not in str(e):
+                                raise
+                            time.sleep(0.05)
                     body = json.dumps(
                         {
                             "step": int(getattr(viewer.runner, "train_step", -1)),
-                            "num_GS": int(num_alive(viewer.runner.gstate)),
+                            "num_GS": n_gs,
                         }
                     ).encode()
                     self.send_response(200)

@@ -97,8 +97,6 @@ def _run_pair(cfg_kw, batch_extra=None, mesh_shape=(2, 4), step_val=5):
     mesh = make_mesh(*mesh_shape)
     sh_step = make_sharded_train_step(cfg, acfg, scene.width, scene.height, mesh)
     gauss_s, data_s, repl_s = shardings(mesh)
-    # Shard copies BEFORE the reference step runs: make_train_step donates
-    # its state inputs, so gstate/adam buffers die inside ref_step.
     gstate_sh = jax.tree.map(lambda x: jax.device_put(x, gauss_s), gstate)
     adam_sh = jax.tree.map(
         lambda x: jax.device_put(x, gauss_s if x.ndim > 0 else repl_s), adam
@@ -108,8 +106,16 @@ def _run_pair(cfg_kw, batch_extra=None, mesh_shape=(2, 4), step_val=5):
     aux_sh = jax.tree.map(lambda x: jax.device_put(x, repl_s), aux)
     aux_opt_sh = jax.tree.map(lambda x: jax.device_put(x, repl_s), aux_opt)
 
+    # The reference step donates its state arguments, and device_put to a
+    # multi-device sharding may ALIAS the source buffer for the shard that
+    # already sits on the right device — so the donating call must get its
+    # own deep copies, or the *_sh trees above die with it.
+    _copy = lambda t: jax.tree.map(jnp.copy, t)
     ref_step = make_train_step(cfg, acfg, scene.width, scene.height)
-    ref = ref_step(gstate, adam, sstate, aux, aux_opt, batch, step, key)
+    ref = ref_step(
+        _copy(gstate), _copy(adam), _copy(sstate), _copy(aux),
+        _copy(aux_opt), batch, step, key,
+    )
     sh = sh_step(
         gstate_sh, adam_sh, sstate_sh, aux_sh, aux_opt_sh, batch_sh, step, key
     )
