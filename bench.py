@@ -150,6 +150,9 @@ def main():
             pass
         env = dict(_os.environ)
         env["GS_BENCH_PAIR_CAP"] = str(snug)
+        # Mark the pin as our own: the re-exec'd image IS the default driver
+        # path (cold cap cache), and must still qualify to record last-good.
+        env["GS_BENCH_AUTOCAP"] = "1"
         _os.execve(_sys.executable, [_sys.executable, __file__], env)
     elif snug > cfg.pair_capacity:
         print(
@@ -195,8 +198,13 @@ def main():
     # Filter GS_SCAN by NAME (a positional [:-1] once dropped GS_EXP2
     # instead, so driver-default runs — which always carry the auto-pinned
     # GS_SCAN — never qualified and the last-good record was never written).
+    # Same for GS_BENCH_PAIR_CAP when pinned by the snug-cap re-exec
+    # (GS_BENCH_AUTOCAP): that image is the default cold-cache path.
+    _own_cap = _os.environ.get("GS_BENCH_AUTOCAP")
     _checked = tuple(
-        k for k in _experiment_knobs if not (_own_pin and k == "GS_SCAN")
+        k for k in _experiment_knobs
+        if not (_own_pin and k == "GS_SCAN")
+        and not (_own_cap and k == "GS_BENCH_PAIR_CAP")
     )
     _is_default_run = not any(_os.environ.get(k) for k in _checked)
     try:

@@ -278,8 +278,8 @@ class Config:
     # background thread decodes+undistorts+stacks+device_puts batches ahead
     # of the train loop; 0 disables prefetch (synchronous path).
     data_prefetch: int = 2
-    # Decoded-image cache budget (uint8, post-undistort) shared by all
-    # Dataset instances of a Runner; 0 disables caching.
+    # Decoded-image cache budget (uint8, post-undistort) PER Dataset
+    # instance (train and val each get this much); 0 disables caching.
     image_cache_gb: float = 2.0
 
     # Init

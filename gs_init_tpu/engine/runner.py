@@ -92,11 +92,14 @@ class Runner:
                 test_every=cfg.test_every,
             )
         self.parser = parser
+        cache_bytes = int(cfg.image_cache_gb * (1 << 30))
         self.trainset = trainset or Dataset(
             self.parser, "train", load_depths=cfg.depth_loss,
-            patch_size=cfg.patch_size,
+            patch_size=cfg.patch_size, cache_bytes=cache_bytes,
         )
-        self.valset = valset or Dataset(self.parser, "val")
+        self.valset = valset or Dataset(
+            self.parser, "val", cache_bytes=cache_bytes
+        )
         self.scene_scale = self.parser.scene_scale * 1.1 * cfg.global_scale
 
         os.makedirs(cfg.result_dir, exist_ok=True)
@@ -311,6 +314,16 @@ class Runner:
                     )
                 )
             ids.append(int(self._perm.pop()))
+        return self._build_batch(ids)
+
+    def _build_batch(self, ids) -> Batch:
+        """Assemble a device-ready batch from trainset indices.
+
+        Thread-safe w.r.t. the train loop (called from the prefetch worker):
+        reads only immutable state — datasets, the static pose perturbation,
+        shardings.
+        """
+        cfg = self.cfg
         items = [self.trainset[i] for i in ids]
         c2ws = jnp.asarray(np.stack([it["camtoworld"] for it in items]))
         iid = jnp.asarray(np.array([it["image_id"] for it in items]))
@@ -395,7 +408,8 @@ class Runner:
             self._profile_dir = os.path.join(cfg.result_dir, "profile")
             jax.profiler.start_trace(self._profile_dir)
         t_data = time.time()
-        batch = self._next_batch()
+        pf = getattr(self, "_prefetcher", None)
+        batch = pf.get() if pf is not None else self._next_batch()
         self._phase_times["data"] += time.time() - t_data
         self.key, k = jax.random.split(self.key)
         (
@@ -479,6 +493,26 @@ class Runner:
         cfg = self.cfg
         if not cfg.disable_viewer and getattr(self, "viewer", None) is None:
             self.start_viewer()
+        self._prefetcher = None
+        if cfg.data_prefetch > 0:
+            from ..datasets.prefetch import BatchPrefetcher
+
+            self._prefetcher = BatchPrefetcher(
+                self._build_batch,
+                len(self.trainset),
+                cfg.batch_size,
+                depth=cfg.data_prefetch,
+                seed=cfg.seed,
+            )
+        try:
+            return self._train_loop()
+        finally:
+            if self._prefetcher is not None:
+                self._prefetcher.close()
+                self._prefetcher = None
+
+    def _train_loop(self):
+        cfg = self.cfg
         t0 = time.time()
         last_metrics = {}
         s_cfg = cfg.strategy
