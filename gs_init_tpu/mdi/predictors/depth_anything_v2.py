@@ -326,6 +326,27 @@ class DepthAnythingV2Predictor:
 
         self._fwd = _fwd
 
+        @functools.lru_cache(maxsize=8)
+        def _fwd_full(nh, nw, h, w):
+            # One jitted program per (batch-shape): uint8 in, pre/post
+            # resize + normalization fused on-device. Shipping uint8 cuts
+            # the host->device transfer 4x vs f32 — on the relayed-TPU
+            # environment the depth path is TRANSFER-bound, not MXU-bound
+            # (scripts/bench_depth.py), mirroring the reference's
+            # pin_memory concern (monocular_depth_init.py:120-177 predicts
+            # serially; we batch AND compress the wire format).
+            @jax.jit
+            def f(variables, imgs_u8):
+                x = imgs_u8.astype(jnp.float32) * (1.0 / 255.0)
+                x = jax.image.resize(x, (imgs_u8.shape[0], nh, nw, 3), "bilinear")
+                x = (x - _MEAN) / _STD
+                out = self.net.apply(variables, x)  # [B, nh, nw]
+                return jax.image.resize(out, (imgs_u8.shape[0], h, w), "bilinear")
+
+            return f
+
+        self._fwd_full = _fwd_full
+
     def _net_size(self, h, w):
         # keep-ratio: smaller side -> input_size, both multiples of 14.
         scale = self.input_size / min(h, w)
@@ -336,12 +357,13 @@ class DepthAnythingV2Predictor:
     def predict_depth_batch(self, images: np.ndarray, intrinsics) -> list:
         b, h, w = images.shape[:3]
         nh, nw = self._net_size(h, w)
-        x = jax.image.resize(
-            jnp.asarray(images, jnp.float32), (b, nh, nw, 3), "bilinear"
-        )
-        x = (x - _MEAN) / _STD
-        out = self._fwd(self.variables, x)  # [B, nh, nw]
-        out = jax.image.resize(out, (b, h, w), "bilinear")
+        if images.dtype != np.uint8:
+            # Source images are 8-bit files; the round trip is lossless in
+            # practice and quarters the bytes on the wire.
+            images = np.clip(
+                np.asarray(images, np.float32) * 255.0 + 0.5, 0, 255
+            ).astype(np.uint8)
+        out = self._fwd_full(nh, nw, h, w)(self.variables, jnp.asarray(images))
         out = np.asarray(out)
         preds = []
         for i in range(b):

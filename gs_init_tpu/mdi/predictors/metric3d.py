@@ -112,6 +112,41 @@ class Metric3DPredictor:
 
         self._fwd = _fwd
 
+        @functools.lru_cache(maxsize=8)
+        def _fwd_full(nh, nw, h, w, pad_t, pad_l):
+            # One jitted program per batch shape: uint8 in, resize/pad/
+            # normalize and the unpad/resize-back epilogue fused on-device.
+            # The relayed-TPU depth path is transfer-bound — uint8 input is
+            # 4x fewer bytes on the wire than f32 (scripts/bench_depth.py).
+            @jax.jit
+            def f(variables, imgs_u8):
+                b = imgs_u8.shape[0]
+                x = imgs_u8.astype(jnp.float32)
+                x = jax.image.resize(x, (b, nh, nw, 3), "bilinear")
+                canvas = jnp.broadcast_to(jnp.asarray(_MEAN), (b,) + CROP + (3,))
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, x, (0, pad_t, pad_l, 0)
+                )
+                canvas = (canvas - _MEAN) / _STD
+                depth, conf, normal = self.net.apply(variables, canvas)
+                depth = depth[:, pad_t : pad_t + nh, pad_l : pad_l + nw]
+                conf = conf[:, pad_t : pad_t + nh, pad_l : pad_l + nw]
+                normal = normal[:, pad_t : pad_t + nh, pad_l : pad_l + nw]
+                depth = jax.image.resize(depth, (b, h, w), "bilinear")
+                conf = jax.image.resize(conf, (b, h, w), "bilinear")
+                normal = jax.image.resize(normal, (b, h, w, 4), "bilinear")
+                nxyz = normal[..., :3]
+                nxyz = nxyz / jnp.maximum(
+                    jnp.linalg.norm(nxyz, axis=-1, keepdims=True), 1e-8
+                )
+                return depth, conf, jnp.concatenate(
+                    [nxyz, normal[..., 3:]], axis=-1
+                )
+
+            return f
+
+        self._fwd_full = _fwd_full
+
     @staticmethod
     def _find_ckpt(backbone):
         for d in [
@@ -129,31 +164,19 @@ class Metric3DPredictor:
         ch, cw = CROP
         scale = min(cw / w, ch / h)
         nh, nw = int(round(h * scale)), int(round(w * scale))
-        x = jax.image.resize(
-            jnp.asarray(images, jnp.float32) * 255.0, (b, nh, nw, 3), "bilinear"
-        )
         pad_t = (ch - nh) // 2
         pad_l = (cw - nw) // 2
-        canvas = jnp.broadcast_to(jnp.asarray(_MEAN), (b, ch, cw, 3))
-        canvas = jax.lax.dynamic_update_slice(
-            canvas, x, (0, pad_t, pad_l, 0)
+        if images.dtype != np.uint8:
+            # Source images are 8-bit files; uint8 on the wire is lossless
+            # in practice (the net consumes 0..255 floats anyway).
+            images = np.clip(
+                np.asarray(images, np.float32) * 255.0 + 0.5, 0, 255
+            ).astype(np.uint8)
+        # Fused uint8-in program (resize/pad/net/unpad/resize-back on
+        # device); de-canonicalization stays on host (metric3d.py:126-131).
+        depth, conf, normal = self._fwd_full(nh, nw, h, w, pad_t, pad_l)(
+            self.variables, jnp.asarray(images)
         )
-        canvas = (canvas - _MEAN) / _STD
-
-        depth, conf, normal = self._fwd(self.variables, canvas)
-        # Unpad, resize back, de-canonicalize (metric3d.py:126-131).
-        depth = depth[:, pad_t : pad_t + nh, pad_l : pad_l + nw]
-        conf = conf[:, pad_t : pad_t + nh, pad_l : pad_l + nw]
-        normal = normal[:, pad_t : pad_t + nh, pad_l : pad_l + nw]
-        depth = jax.image.resize(depth, (b, h, w), "bilinear")
-        conf = jax.image.resize(conf, (b, h, w), "bilinear")
-        normal = jax.image.resize(normal, (b, h, w, 4), "bilinear")
-        # Re-normalize xyz after interpolation.
-        nxyz = normal[..., :3]
-        nxyz = nxyz / jnp.maximum(
-            jnp.linalg.norm(nxyz, axis=-1, keepdims=True), 1e-8
-        )
-        normal = jnp.concatenate([nxyz, normal[..., 3:]], axis=-1)
 
         preds = []
         for i in range(b):

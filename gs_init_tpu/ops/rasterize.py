@@ -229,6 +229,20 @@ def _probe_hs_scan() -> bool:
     return ok
 
 
+def _moment_mode() -> str:
+    """Backward conic/mean moment-reduction lowering (A/B knob GS_MOMENT).
+
+    "off" (default): round-3 VPU moment form — 5 products + 5 reduces over
+    [chunk, P]. "hi"/"bf16": single MXU contraction of the -dsig mass
+    against the tile-centered pixel basis at HIGHEST/DEFAULT precision.
+    Measured on v5e (300k flagship bench): off 16.13, hi 15.33 steps/s —
+    the 6-pass HIGHEST matmul costs more than the VPU passes it replaces;
+    kept as a knob for other TPU generations / the bf16 variant.
+    """
+    m = _os.environ.get("GS_MOMENT", "off")
+    return m if m in ("off", "hi", "bf16") else "off"
+
+
 def _hs_scan(x, *, reverse: bool = False, exclusive: bool = False, mul: bool = False):
     """Hillis-Steele prefix sum (or product, ``mul=True``) of [chunk, P]
     along axis 0: log2(chunk) shifted VPU adds/muls, off the MXU. The
@@ -430,6 +444,24 @@ def _bwd_kernel(
     nchunks = jnp.where(end > start, (end - c0 + chunk - 1) // chunk, 0)
 
     px, py = _pixel_coords(t, tile, ntx, nty, pixels)
+    # Tile-centered pixel-moment basis [6, P]: every dsig-weighted reduction
+    # the conic/mean gradients need is a moment of dsig against
+    # {1, qx, qy, qx^2, qy^2, qx*qy} (dx = qx - ux expands binomially), so
+    # the ~14 per-chunk [chunk, P] VPU passes they used to cost collapse
+    # into ONE [chunk, P] @ [P, 6] MXU contraction (depth P — well-shaped,
+    # unlike the K=8 sigma matmul that lost; PERF.md) plus [chunk, 1]
+    # epilogue math. Centering at the tile keeps |qx| <= tile/2 so the
+    # binomial reconstruction's cancellation stays ~ (tile/2 / dx)^2 — f32
+    # noise orders below the bf16 record-sort floor already accepted.
+    basis = tcx = tcy = None
+    if _moment_mode() != "off":  # resolved at trace time
+        tcx = jnp.min(px) + (tile - 1) * 0.5
+        tcy = jnp.min(py) + (tile - 1) * 0.5
+        qx = px - tcx  # [1, P]
+        qy = py - tcy
+        basis = jnp.concatenate(
+            [jnp.ones_like(qx), qx, qy, qx * qx, qy * qy, qx * qy], axis=0
+        )  # [6, P]
 
     g_rgbd = jnp.concatenate(
         [gout_ref[0, ROW_R : ROW_B + 1, :], gout_ref[0, ROW_DEPTH : ROW_DEPTH + 1, :]],
@@ -576,24 +608,55 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )  # [chunk, 4] = (dr, dg, db, ddepth)
         live = aux["unclamped"]
-        de = dalpha * jnp.where(live, aux["e"], 0.0)
-        dopa = jnp.sum(de, axis=1, keepdims=True)
-        # dsig = -dalpha * araw_live = de * (-opa): shares the de product.
-        dsig = de * (-aux["opa"])
-        dx, dy = aux["dx"], aux["dy"]
-        # Moment form: the five conic/mean gradients share the weighted
-        # first/second moments of (dx, dy) under dsig — 5 products + 5
-        # reduces instead of ~16 per-pixel ops, and the mean gradients
-        # become [chunk, 1] math on the first moments. The packed diagonal
-        # conics are pre-halved, so d(0.5a) = sum dsx*dx directly and the
-        # mean chain uses 2*ca = original conic_a.
-        dsx = dsig * dx
-        dsy = dsig * dy
-        dca = jnp.sum(dsx * dx, axis=1, keepdims=True)
-        dcb = jnp.sum(dsx * dy, axis=1, keepdims=True)
-        dcc = jnp.sum(dsy * dy, axis=1, keepdims=True)
-        sx = jnp.sum(dsx, axis=1, keepdims=True)
-        sy = jnp.sum(dsy, axis=1, keepdims=True)
+        if _moment_mode() != "off":
+            # m = -dsig = dalpha * alpha on live pairs (alpha == araw
+            # there): the ONLY remaining [chunk, P] gradient pass. All five
+            # conic/mean reductions and dopa are moments of m against the
+            # tile-centered pixel basis — one MXU contraction (see basis
+            # above), then [chunk, 1] binomial reconstruction with the
+            # centered means. A/B knob GS_MOMENT: "hi" = Precision.HIGHEST
+            # (6 bf16 MXU passes, f32-exact), "bf16" = default precision
+            # (1 pass; ~2^-9 relative moment rounding — the same noise
+            # floor as the default-ON bf16 record sort), "off" = the
+            # round-3 VPU moment form below.
+            m = jnp.where(live, dalpha * alpha, 0.0)
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if _moment_mode() == "hi"
+                else jax.lax.Precision.DEFAULT
+            )
+            S = jax.lax.dot_general(
+                m, basis, (((1,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )  # [chunk, 6] = sum_p m * {1, qx, qy, qx^2, qy^2, qx qy}
+            s0 = S[:, 0:1]
+            s1x, s1y = S[:, 1:2], S[:, 2:3]
+            s2x, s2y, sxy = S[:, 3:4], S[:, 4:5], S[:, 5:6]
+            ux = d[:, PACK_MX : PACK_MX + 1] - tcx  # centered means
+            uy = d[:, PACK_MY : PACK_MY + 1] - tcy
+            # de = dalpha * e * live = m / opa (alpha = opa * e on live).
+            dopa = s0 / aux["opa"]
+            # dsig moments: dsig = -m; dx = qx - ux, dy = qy - uy.
+            sx = -(s1x - ux * s0)  # sum dsig * dx
+            sy = -(s1y - uy * s0)
+            dca = -(s2x - 2.0 * ux * s1x + ux * ux * s0)  # sum dsig dx^2
+            dcc = -(s2y - 2.0 * uy * s1y + uy * uy * s0)
+            dcb = -(sxy - ux * s1y - uy * s1x + ux * uy * s0)
+        else:
+            # VPU moment form (round 3): the five conic/mean gradients
+            # share the dsig-weighted first/second moments of (dx, dy).
+            de = dalpha * jnp.where(live, aux["e"], 0.0)
+            dopa = jnp.sum(de, axis=1, keepdims=True)
+            dsig = de * (-aux["opa"])
+            dx, dy = aux["dx"], aux["dy"]
+            dsx = dsig * dx
+            dsy = dsig * dy
+            dca = jnp.sum(dsx * dx, axis=1, keepdims=True)
+            dcb = jnp.sum(dsx * dy, axis=1, keepdims=True)
+            dcc = jnp.sum(dsy * dy, axis=1, keepdims=True)
+            sx = jnp.sum(dsx, axis=1, keepdims=True)
+            sy = jnp.sum(dsy, axis=1, keepdims=True)
         dmx = -(2.0 * aux["ca"] * sx + aux["cb"] * sy)
         dmy = -(2.0 * aux["cc"] * sy + aux["cb"] * sx)
 
