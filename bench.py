@@ -187,7 +187,7 @@ def main():
     _experiment_knobs = (
         "GS_BENCH_TILE", "GS_BENCH_CHUNK", "GS_BENCH_REORDER",
         "GS_BENCH_SORT_BF16", "GS_BENCH_PAIR_CAP", "GS_SEGRED", "GS_SCAN",
-        "GS_PACK_KEY", "GS_KAB", "GS_EXP2",
+        "GS_PACK_KEY", "GS_KAB", "GS_EXP2", "GS_MOMENT", "GS_WIRE",
     )
     # GS_SCAN doesn't count when pinned by the auto-fallback wrapper itself
     # (GS_BENCH_AUTOSCAN for the hs pin, GS_BENCH_TRIMAT_FALLBACK for the

@@ -254,7 +254,11 @@ class MonocularDepthInitConfig:
     allow_random_weights: bool = False
     # TPU addition: images are depth-predicted in pjit-batched groups instead
     # of the reference's serial per-image loop (monocular_depth_init.py:120).
-    predict_batch_size: int = 8
+    # Measured on v5e at 1296x840 (scripts/bench_depth.py, uint8 wire
+    # format): dav2-vits b1 3.52 imgs/s vs b8 2.40 — the single-chip relay
+    # pipeline favors small batches (the big batched output fetch stalls
+    # un-overlapped). Keep 1 on relayed single-chip; raise for pjit meshes.
+    predict_batch_size: int = 1
 
 
 # --------------------------------------------------------------------------

@@ -59,6 +59,15 @@ from .tiles import (
     PACK_OPA,
     PACK_R,
     PACK_VALID,
+    WIRE_BD,
+    WIRE_CACB,
+    WIRE_CCOP,
+    WIRE_COLS,
+    WIRE_GID,
+    WIRE_MX,
+    WIRE_MY,
+    WIRE_RG,
+    pack_wire,
     padded_capacity,
     segment_reduce_presort,
 )
@@ -318,17 +327,54 @@ def _prefix_prod(om, alpha, *, exclusive: bool = True):
     return _hs_scan(om, exclusive=exclusive, mul=True)
 
 
-def _alpha_terms(d, px, py, lo, hi, chunk):
-    """Shared fwd/bwd per-chunk alpha computation. d: [chunk, PACK_COLS];
-    rows with index outside [lo, hi) (this tile's pairs within the aligned
-    window) are masked out. The packed diagonal conic entries arrive
-    PRE-HALVED (tiles.pack_table), so sigma needs no 0.5 scaling pass."""
-    mx = d[:, PACK_MX : PACK_MX + 1]
-    my = d[:, PACK_MY : PACK_MY + 1]
-    ca = d[:, PACK_CA : PACK_CA + 1]  # = 0.5 * conic_a
-    cb = d[:, PACK_CB : PACK_CB + 1]
-    cc = d[:, PACK_CC : PACK_CC + 1]  # = 0.5 * conic_c
-    opa = d[:, PACK_OPA : PACK_OPA + 1]
+def _decode_cols(d, wire8: bool):
+    """Per-chunk attribute columns from the DMA'd window.
+
+    f32-16 path: ``d`` is [chunk, PACK_COLS] f32 — direct slices, plus the
+    contiguous rgbd block. wire-8 path: ``d`` is [chunk, WIRE_COLS] int32
+    (tiles.pack_wire) — mx/my/gid are f32 bit patterns, the rest bf16
+    pairs decoded with mask/shift + bitcast ([chunk, 1] column ops; bf16 ->
+    f32 widening is exactly "append 16 zero mantissa bits")."""
+    if not wire8:
+        return dict(
+            mx=d[:, PACK_MX : PACK_MX + 1],
+            my=d[:, PACK_MY : PACK_MY + 1],
+            ca=d[:, PACK_CA : PACK_CA + 1],
+            cb=d[:, PACK_CB : PACK_CB + 1],
+            cc=d[:, PACK_CC : PACK_CC + 1],
+            opa=d[:, PACK_OPA : PACK_OPA + 1],
+            rgbd=d[:, PACK_R : PACK_DEPTH + 1],
+            gidf=d[:, PACK_GID : PACK_GID + 1],
+        )
+    f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    u = lambda i: jax.lax.bitcast_convert_type(d[:, i : i + 1], jnp.uint32)
+    hi = lambda i: f32(u(i) & jnp.uint32(0xFFFF0000))
+    lo = lambda i: f32(u(i) << 16)
+    return dict(
+        mx=f32(d[:, WIRE_MX : WIRE_MX + 1]),
+        my=f32(d[:, WIRE_MY : WIRE_MY + 1]),
+        ca=hi(WIRE_CACB),
+        cb=lo(WIRE_CACB),
+        cc=hi(WIRE_CCOP),
+        opa=lo(WIRE_CCOP),
+        rgbd=jnp.concatenate(
+            [hi(WIRE_RG), lo(WIRE_RG), hi(WIRE_BD), lo(WIRE_BD)], axis=1
+        ),
+        gidf=f32(d[:, WIRE_GID : WIRE_GID + 1]),
+    )
+
+
+def _alpha_terms(cols, px, py, lo, hi, chunk):
+    """Shared fwd/bwd per-chunk alpha computation. ``cols``: decoded
+    attribute columns (see _decode_cols); rows with index outside [lo, hi)
+    (this tile's pairs within the aligned window) are masked out. The
+    packed diagonal conic entries arrive PRE-HALVED (tiles.pack_table), so
+    sigma needs no 0.5 scaling pass."""
+    mx, my = cols["mx"], cols["my"]
+    ca = cols["ca"]  # = 0.5 * conic_a
+    cb = cols["cb"]
+    cc = cols["cc"]  # = 0.5 * conic_c
+    opa = cols["opa"]
     k = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     inrange = (k >= lo) & (k < hi)
     dx = px - mx  # [chunk, P]
@@ -358,7 +404,7 @@ def _pixel_coords(t, tile, ntx, nty, pixels):
 
 def _fwd_kernel(
     starts_ref, packed_ref, out_ref, buf, sem,
-    *, chunk, tile, ntx, nty, pixels,
+    *, chunk, tile, ntx, nty, pixels, wire8=False,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -389,16 +435,17 @@ def _fwd_kernel(
             dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
         dma(i, slot).wait()
-        d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS]
+        d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS | WIRE_COLS]
+        cols = _decode_cols(d, wire8)
         base = c0 + i * chunk
-        alpha, _ = _alpha_terms(d, px, py, start - base, end - base, chunk)
+        alpha, _ = _alpha_terms(cols, px, py, start - base, end - base, chunk)
         om = 1.0 - alpha
         # Transmittance before each pair = running T x exclusive prefix
         # product of (1 - alpha) — the forward recurrence itself, no
         # log/exp round trip (products of values <= 1 cannot overflow).
         pexcl = _prefix_prod(om, alpha, exclusive=True)
         w = alpha * tcur * pexcl  # [chunk, P]
-        rgbd = d[:, PACK_R : PACK_DEPTH + 1]  # [chunk, 4] r,g,b,depth
+        rgbd = cols["rgbd"]  # [chunk, 4] r,g,b,depth
         contrib = jax.lax.dot_general(
             rgbd, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -434,7 +481,7 @@ def _fwd_kernel(
 def _bwd_kernel(
     starts_ref, ostarts_ref, packed_ref, fwdout_ref, gout_ref, dpairs_ref,
     buf, gbuf, sem, osem,
-    *, chunk, tile, ntx, nty, pixels,
+    *, chunk, tile, ntx, nty, pixels, wire8=False,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -515,7 +562,8 @@ def _bwd_kernel(
     # chunk j+1's read is in flight while chunk j is tagged and written,
     # and a gbuf slot is only rewritten once its j-2 write has drained.
     rows = jax.lax.broadcasted_iota(jnp.int32, (PACK_COLS, chunk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (PACK_COLS, chunk), 1)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (PACK_COLS, chunk), 1)
+    gid_row = WIRE_GID if wire8 else PACK_GID
 
     @pl.when(nproc < nchunks)
     def _():
@@ -535,10 +583,15 @@ def _bwd_kernel(
             wdma(j - 2, slot).wait()
 
         base = c0 + j * chunk
-        inr = (cols >= start - base) & (cols < end - base)
+        inr = (cols_i >= start - base) & (cols_i < end - base)
+        # The gid's biased-f32 bit pattern broadcasts from its wire/pack row
+        # into the record's PACK_GID row (bit-identical in both formats).
+        gidf = buf[slot][gid_row : gid_row + 1, :]
+        if wire8:
+            gidf = jax.lax.bitcast_convert_type(gidf, jnp.float32)
         gbuf[slot] = jnp.where(
             rows == PACK_GID,
-            buf[slot],
+            gidf,
             jnp.where(
                 (rows == PACK_VALID) & inr, 1.0, 0.0
             ),
@@ -572,17 +625,20 @@ def _bwd_kernel(
             rdma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
         rdma(i, slot).wait()
-        d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS]
+        d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS | WIRE_COLS]
+        dc = _decode_cols(d, wire8)
         base = c0 + i * chunk
 
-        alpha, aux = _alpha_terms(d, px, py, start - base, end - base, chunk)
+        alpha, aux = _alpha_terms(
+            dc, px, py, start - base, end - base, chunk
+        )
         om = 1.0 - alpha
         inv1m = 1.0 / om
         # Transmittance before each gaussian: the forward recurrence.
         pexcl = _prefix_prod(om, alpha, exclusive=True)
         tk = tcur * pexcl
         w = alpha * tk
-        rgbd = d[:, PACK_R : PACK_DEPTH + 1]  # [chunk, 4]
+        rgbd = dc["rgbd"]  # [chunk, 4]
         q = jax.lax.dot_general(
             rgbd, g_rgbd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -633,8 +689,8 @@ def _bwd_kernel(
             s0 = S[:, 0:1]
             s1x, s1y = S[:, 1:2], S[:, 2:3]
             s2x, s2y, sxy = S[:, 3:4], S[:, 4:5], S[:, 5:6]
-            ux = d[:, PACK_MX : PACK_MX + 1] - tcx  # centered means
-            uy = d[:, PACK_MY : PACK_MY + 1] - tcy
+            ux = dc["mx"] - tcx  # centered means
+            uy = dc["my"] - tcy
             # de = dalpha * e * live = m / opa (alpha = opa * e on live).
             dopa = s0 / aux["opa"]
             # dsig moments: dsig = -m; dx = qx - ux, dy = qy - uy.
@@ -667,7 +723,7 @@ def _bwd_kernel(
         parts = [
             dmx, dmy, dca, dcb, dcc, dopa,
             dcols,  # dr, dg, db at PACK_R..PACK_B, ddepth at PACK_DEPTH
-            d[:, PACK_GID : PACK_GID + 1],
+            dc["gidf"],
             inrange,
         ]
         if PACK_COLS > 12:  # zero-width vectors are invalid under Mosaic
@@ -703,9 +759,11 @@ def _bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_tiles", "ntx", "nty", "tile", "chunk"),
+    static_argnames=("num_tiles", "ntx", "nty", "tile", "chunk", "wire8"),
 )
-def _composite_fwd_call(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
+def _composite_fwd_call(
+    packed, tile_starts, num_tiles, ntx, nty, tile, chunk, wire8=False
+):
     pixels = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -713,12 +771,16 @@ def _composite_fwd_call(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, OUT_ROWS, pixels), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, PACK_COLS, chunk), jnp.float32),
+            pltpu.VMEM(
+                (2, WIRE_COLS if wire8 else PACK_COLS, chunk),
+                jnp.int32 if wire8 else jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, chunk=chunk, tile=tile, ntx=ntx, nty=nty, pixels=pixels
+        _fwd_kernel, chunk=chunk, tile=tile, ntx=ntx, nty=nty, pixels=pixels,
+        wire8=wire8,
     )
     return pl.pallas_call(
         kernel,
@@ -730,11 +792,13 @@ def _composite_fwd_call(packed, tile_starts, num_tiles, ntx, nty, tile, chunk):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_tiles", "ntx", "nty", "tile", "chunk", "cap_pad"),
+    static_argnames=(
+        "num_tiles", "ntx", "nty", "tile", "chunk", "cap_pad", "wire8"
+    ),
 )
 def _composite_bwd_call(
     packed, tile_starts, out_starts, fwd_out, g_out,
-    num_tiles, ntx, nty, tile, chunk, cap_pad,
+    num_tiles, ntx, nty, tile, chunk, cap_pad, wire8=False,
 ):
     pixels = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -747,14 +811,18 @@ def _composite_bwd_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, PACK_COLS, chunk), jnp.float32),
+            pltpu.VMEM(
+                (2, WIRE_COLS if wire8 else PACK_COLS, chunk),
+                jnp.int32 if wire8 else jnp.float32,
+            ),
             pltpu.VMEM((2, PACK_COLS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _bwd_kernel, chunk=chunk, tile=tile, ntx=ntx, nty=nty, pixels=pixels
+        _bwd_kernel, chunk=chunk, tile=tile, ntx=ntx, nty=nty, pixels=pixels,
+        wire8=wire8,
     )
     return pl.pallas_call(
         kernel,
@@ -766,12 +834,12 @@ def _composite_bwd_call(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15)
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16)
 )
 def render_tiles(
     table, pair_dummy, gid_sorted, row_order, tile_starts, out_starts,
     offsets, counts, num_tiles, ntx, nty, tile, chunk,
-    want_depth_grad=True, want_absgrad=True, sort_bf16=False,
+    want_depth_grad=True, want_absgrad=True, sort_bf16=False, wire8=False,
 ):
     """Gather the per-gaussian table into sorted pair rows and composite.
 
@@ -800,14 +868,14 @@ def render_tiles(
     return _render_fwd(
         table, pair_dummy, gid_sorted, row_order, tile_starts, out_starts,
         offsets, counts, num_tiles, ntx, nty, tile, chunk,
-        want_depth_grad, want_absgrad, sort_bf16,
+        want_depth_grad, want_absgrad, sort_bf16, wire8,
     )[0]
 
 
 def _render_fwd(
     table, pair_dummy, gid_sorted, row_order, tile_starts, out_starts,
     offsets, counts, num_tiles, ntx, nty, tile, chunk,
-    want_depth_grad=True, want_absgrad=True, sort_bf16=False,
+    want_depth_grad=True, want_absgrad=True, sort_bf16=False, wire8=False,
 ):
     del pair_dummy  # zeros by contract; see docstring
     if row_order.shape[0]:
@@ -816,11 +884,18 @@ def _render_fwd(
         # rows. The custom bwd is unaffected: records carry ORIGINAL gids,
         # so dtable lands in original row order, matching the table operand.
         table = jnp.take(table, row_order, axis=0)
+    if wire8:
+        # Compressed wire format: bf16-pair packing runs ONCE over the
+        # [C*N] rows, and every per-PAIR cost below (the dominant random
+        # row gather + the kernels' chunk DMA) moves half the bytes. The
+        # bf16 rounding is forward-only; the VJP returns exact-layout f32
+        # dtable rows (straight-through, same noise class as sort_bf16).
+        table = pack_wire(table)
     # XLA fuses the transpose into the gather, producing the attribute-major
     # physical layout directly (minor dim = pairs, no lane padding).
     packed = jnp.transpose(jnp.take(table, gid_sorted, axis=0, mode="clip"))
     out = _composite_fwd_call(
-        packed, tile_starts, num_tiles, ntx, nty, tile, chunk
+        packed, tile_starts, num_tiles, ntx, nty, tile, chunk, wire8=wire8
     )
     res = (packed, row_order, tile_starts, out_starts, offsets, counts, out)
     return out, res
@@ -920,7 +995,7 @@ def reduce_records(
 
 def _render_bwd(
     num_tiles, ntx, nty, tile, chunk, want_depth_grad, want_absgrad,
-    sort_bf16, res, g_out,
+    sort_bf16, wire8, res, g_out,
 ):
     packed, row_order, tile_starts, out_starts, offsets, counts, out = res
     row_order_shape = row_order.shape
@@ -928,7 +1003,7 @@ def _render_bwd(
     cap_pad = padded_capacity(pair_cap, num_tiles, chunk)
     records = _composite_bwd_call(
         packed, tile_starts, out_starts, out, g_out,
-        num_tiles, ntx, nty, tile, chunk, cap_pad,
+        num_tiles, ntx, nty, tile, chunk, cap_pad, wire8=wire8,
     )  # [PACK_COLS, CAP_PAD] per-pair grads in aligned bwd-slot layout
     n_base = 10 if want_depth_grad else 9  # ddepth column optional
     red = reduce_records(

@@ -10,6 +10,7 @@ and for tiny scenes); "auto" picks pallas on TPU, xla on CPU.
 """
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple, Optional
 
 import jax
@@ -60,6 +61,7 @@ def rasterize(
     pixel_chunk: int = 4096,
     reorder_table: bool = False,
     sort_bf16: bool = False,
+    wire8: Optional[bool] = None,  # None = env GS_WIRE (default 16-col f32)
     sh_mask: Optional[jnp.ndarray] = None,  # [num_bases] 0/1 schedule mask
 ):
     """Render gaussians. Returns (render [C,H,W,3|4], alpha [C,H,W,1], info).
@@ -132,6 +134,8 @@ def rasterize(
             means2d, proj.conics, proj.opacities, cam_colors, proj.depths
         )
         num_tiles = num_cams * binning.num_tiles_x * binning.num_tiles_y
+        if wire8 is None:
+            wire8 = _os.environ.get("GS_WIRE", "16") == "8"
         want_absgrad = pair_dummy is not None
         if pair_dummy is None:
             # Zeros tap required by render_tiles' VJP contract; XLA folds
@@ -154,6 +158,7 @@ def rasterize(
             render_mode == "RGB+ED",
             want_absgrad,
             sort_bf16,
+            wire8,
         )
         color, alpha, depth_acc = unpack_tiles(
             out, num_cams, binning.num_tiles_x, binning.num_tiles_y,

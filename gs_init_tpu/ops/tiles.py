@@ -57,6 +57,54 @@ GID_BIAS = 0x40000000
 # must be aligned to tiling (8)").
 PACK_COLS = 16
 
+# --- Compressed 8-column wire format (GS_WIRE=8) -------------------------
+# Halves the dominant per-pair random-row gather traffic (64 -> 32 B/row)
+# and the kernels' chunk DMA/VMEM: mx/my keep f32 (bf16 at x ~ 1300 px
+# quantizes to 8 px), gid keeps its exact biased-f32 bit pattern, and the
+# eight remaining attributes ride as bf16 PAIRS. The wire table is int32
+# END TO END (gather, transpose, DMA) so no packed bit pattern is ever a
+# denormal f32 in an arithmetic/select path — the flush-to-zero hazard that
+# forced GID_BIAS cannot arise. Kernels decode with shift/mask + bitcast
+# ([chunk, 1] column ops). The bf16 rounding happens FORWARD-only; the VJP
+# treats it as identity (same ~2^-9 noise floor as the default-ON bf16
+# record sort).
+WIRE_MX, WIRE_MY = 0, 1  # f32 bits
+WIRE_CACB = 2  # bf16(0.5*conic_a) << 16 | bf16(conic_b)
+WIRE_CCOP = 3  # bf16(0.5*conic_c) << 16 | bf16(opacity)
+WIRE_RG = 4  # bf16(r) << 16 | bf16(g)
+WIRE_BD = 5  # bf16(b) << 16 | bf16(depth)
+WIRE_GID = 6  # biased gid f32 bits (same pattern as PACK_GID, as int32)
+WIRE_COLS = 8  # padded: Mosaic sublane slices must be 8-aligned
+
+
+def pack_wire(table: jnp.ndarray) -> jnp.ndarray:
+    """[C*N, PACK_COLS] f32 attribute rows -> [C*N, WIRE_COLS] int32 rows.
+
+    Runs once per step over per-gaussian rows (cheap) so every downstream
+    per-PAIR cost (pack gather, kernel DMA) moves half the bytes.
+    """
+
+    def bits16(x):  # f32 -> bf16 bits (RNE) as uint32
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+
+    def pair(hi, lo):
+        return ((bits16(hi) << 16) | bits16(lo)).astype(jnp.int32)
+
+    f32bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    cols = [
+        f32bits(table[:, PACK_MX]),
+        f32bits(table[:, PACK_MY]),
+        pair(table[:, PACK_CA], table[:, PACK_CB]),
+        pair(table[:, PACK_CC], table[:, PACK_OPA]),
+        pair(table[:, PACK_R], table[:, PACK_G]),
+        pair(table[:, PACK_B], table[:, PACK_DEPTH]),
+        f32bits(table[:, PACK_GID]),
+        jnp.zeros_like(table[:, 0], jnp.int32),
+    ]
+    return jnp.stack(cols, axis=1)
+
 
 class TileBinning(NamedTuple):
     """Sorted pair list with unaligned tile ranges + aligned output slots."""

@@ -30,6 +30,8 @@ Single-chip training is the mesh=(1,1) special case of the same code.
 """
 from __future__ import annotations
 
+import os as _os
+
 import functools
 from typing import Optional
 
@@ -193,6 +195,7 @@ def make_sharded_train_step(
                 num_tiles, binning.num_tiles_x, binning.num_tiles_y,
                 cfg.tile_size, cfg.chunk_size, want_depth, use_absgrad,
                 getattr(cfg, "sort_bf16", False),
+                _os.environ.get("GS_WIRE", "16") == "8",
             )
             color, alpha, depth_acc = unpack_tiles(
                 out, c_local, binning.num_tiles_x, binning.num_tiles_y,
@@ -533,6 +536,7 @@ def make_band_sharded_train_step(
                 num_tiles, binning.num_tiles_x, binning.num_tiles_y,
                 cfg.tile_size, cfg.chunk_size, want_depth, use_absgrad,
                 getattr(cfg, "sort_bf16", False),
+                _os.environ.get("GS_WIRE", "16") == "8",
             )
             color, alpha, depth_acc = unpack_tiles(
                 out, c, binning.num_tiles_x, binning.num_tiles_y,

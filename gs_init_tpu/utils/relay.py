@@ -29,13 +29,6 @@ PROBE = (
 
 def probe_relay(timeout: float = 150.0, cache_ttl: float = 90.0) -> bool:
     """Return True iff a fresh interpreter can run a matmul on the relay."""
-    try:
-        with open(CACHE_PATH) as f:
-            rec = json.load(f)
-        if time.time() - rec["ts"] < cache_ttl:
-            return bool(rec["ok"])
-    except (OSError, KeyError, ValueError):
-        pass
     env = dict(os.environ)
     # Force the canonical relay environment in the child regardless of the
     # caller's own pins (tests run under JAX_PLATFORMS=cpu + POOL_IPS=""):
@@ -45,6 +38,22 @@ def probe_relay(timeout: float = 150.0, cache_ttl: float = 90.0) -> bool:
     if not env.get("PALLAS_AXON_POOL_IPS"):
         env["PALLAS_AXON_POOL_IPS"] = "127.0.0.1"
     env["JAX_PLATFORMS"] = "axon"
+    # Cache keyed by the EFFECTIVE relay address: a probe against a caller's
+    # non-default POOL_IPS (chaos tests, alternative pools) must not poison
+    # sibling processes probing the canonical relay.
+    pool = env["PALLAS_AXON_POOL_IPS"]
+    cache_path = (
+        CACHE_PATH
+        if pool == "127.0.0.1"
+        else CACHE_PATH + "." + "".join(c if c.isalnum() else "_" for c in pool)
+    )
+    try:
+        with open(cache_path) as f:
+            rec = json.load(f)
+        if time.time() - rec["ts"] < cache_ttl:
+            return bool(rec["ok"])
+    except (OSError, KeyError, ValueError):
+        pass
     try:
         r = subprocess.run(
             [sys.executable, "-c", PROBE],
@@ -58,7 +67,7 @@ def probe_relay(timeout: float = 150.0, cache_ttl: float = 90.0) -> bool:
     except (subprocess.TimeoutExpired, OSError):
         ok = False
     try:
-        with open(CACHE_PATH, "w") as f:
+        with open(cache_path, "w") as f:
             json.dump({"ok": ok, "ts": time.time()}, f)
     except OSError:
         pass
@@ -74,8 +83,15 @@ def ensure_safe_jax_env(timeout: float = 150.0) -> bool:
     """
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return False  # explicit CPU run: no relay involved
-    if "PALLAS_AXON_POOL_IPS" in os.environ:
-        return False  # plugin already disabled by caller
+    if (
+        "PALLAS_AXON_POOL_IPS" in os.environ
+        and not os.environ["PALLAS_AXON_POOL_IPS"]
+    ):
+        # Plugin explicitly DISABLED (empty string). A present non-empty
+        # value is the NORMAL driver environment (sitecustomize registers
+        # the plugin from it) — returning early on mere presence made this
+        # guard a no-op exactly where it matters.
+        return False
     ok = probe_relay(timeout=timeout)
     if not ok:
         os.environ["PALLAS_AXON_POOL_IPS"] = ""

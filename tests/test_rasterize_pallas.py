@@ -383,6 +383,33 @@ def test_sort_bf16_grads_close(rng):
         np.testing.assert_allclose(b / scale, a / scale, atol=1.5e-2, err_msg=name)
 
 
+def test_wire8_matches(rng):
+    """The compressed 8-column int32 wire format (bf16-paired attributes,
+    f32 mx/my, exact gid bits) must agree with the 16-column f32 table to
+    bf16 rounding: forward within ~2^-9 of the render scale, gradients
+    within the same normalized tolerance class as sort_bf16."""
+    means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=64)
+    target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)), jnp.float32)
+
+    def loss(wire8, params):
+        m, q, s, o, c = params
+        render, alpha, _ = rasterize(
+            m, q, s, o, c, viewmats, Ks, W, H, impl="pallas",
+            pair_capacity=8192, wire8=wire8,
+        )
+        return jnp.mean((render - target) ** 2) + 0.1 * jnp.mean(alpha)
+
+    params = (means, quats, scales, opac, colors)
+    l0, g0 = jax.value_and_grad(lambda p: loss(False, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(True, p))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-3)
+    for name, a, b in zip(["means", "quats", "scales", "opac", "colors"], g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all(), name
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-2, err_msg=name)
+
+
 @pytest.mark.parametrize("mode", ["hi", "bf16"])
 def test_moment_mxu_matches(rng, monkeypatch, mode):
     """GS_MOMENT=hi/bf16 (MXU pixel-basis moment reduction in the backward)
