@@ -72,6 +72,9 @@ def main():
     cfg.pair_capacity = int(_os.environ.get("GS_BENCH_PAIR_CAP", cfg.pair_capacity))
     cfg.reorder_table = bool(int(_os.environ.get("GS_BENCH_REORDER", 0)))
     cfg.sort_bf16 = bool(int(_os.environ.get("GS_BENCH_SORT_BF16", 1)))
+    # cfg.wire8 beats the GS_WIRE env inside render(); mirror the env here
+    # so `GS_WIRE=16 python bench.py` still A/Bs the f32 wire.
+    cfg.wire8 = _os.environ.get("GS_WIRE", "8") == "8"
     # Snug-cap cache: remembers the right-sized pair capacity per scenario
     # so later invocations (e.g. the driver's) compile exactly once.
     _cache_path = _os.path.join(_os.path.dirname(__file__), ".bench_cap_cache.json")
@@ -188,6 +191,7 @@ def main():
         "GS_BENCH_TILE", "GS_BENCH_CHUNK", "GS_BENCH_REORDER",
         "GS_BENCH_SORT_BF16", "GS_BENCH_PAIR_CAP", "GS_SEGRED", "GS_SCAN",
         "GS_PACK_KEY", "GS_KAB", "GS_EXP2", "GS_MOMENT", "GS_WIRE",
+        "GS_PBLOCK",
     )
     # GS_SCAN doesn't count when pinned by the auto-fallback wrapper itself
     # (GS_BENCH_AUTOSCAN for the hs pin, GS_BENCH_TRIMAT_FALLBACK for the

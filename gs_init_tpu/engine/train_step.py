@@ -104,6 +104,7 @@ def make_train_step(cfg, acfg: AdamConfig, width: int, height: int):
         chunk_size=cfg.chunk_size,
         reorder_table=getattr(cfg, "reorder_table", False),
         sort_bf16=getattr(cfg, "sort_bf16", False),
+        wire8=getattr(cfg, "wire8", None),
         impl=cfg.rasterizer_impl,
         render_mode="RGB+ED" if cfg.depth_loss else "RGB",
     )

@@ -252,6 +252,27 @@ def _moment_mode() -> str:
     return m if m in ("off", "hi", "bf16") else "off"
 
 
+def _pblock(pixels: int) -> int:
+    """Pixel-band termination granularity (A/B knob GS_PBLOCK, default 1).
+
+    The whole-tile early exit waits for EVERY pixel of the tile to
+    saturate; GS_PBLOCK=2/4 splits the tile's pixel vector into that many
+    lane bands with independent termination (fwd) and replay depth (bwd) —
+    the CUDA rasterizer's per-pixel early exit at vector granularity.
+    Bands must keep the lane dim a multiple of 128 (Mosaic): tile 32
+    (1024 px) supports up to 8, tile 16 (256 px) up to 2. Resolved at
+    trace time like GS_SCAN/GS_MOMENT (per-process knob).
+    """
+    try:
+        nb = int(_os.environ.get("GS_PBLOCK", "1"))
+    except ValueError:
+        return 1
+    nb = max(1, nb)
+    while nb > 1 and (pixels % nb or (pixels // nb) % 128):
+        nb -= 1
+    return nb
+
+
 def _hs_scan(x, *, reverse: bool = False, exclusive: bool = False, mul: bool = False):
     """Hillis-Steele prefix sum (or product, ``mul=True``) of [chunk, P]
     along axis 0: log2(chunk) shifted VPU adds/muls, off the MXU. The
@@ -404,7 +425,7 @@ def _pixel_coords(t, tile, ntx, nty, pixels):
 
 def _fwd_kernel(
     starts_ref, packed_ref, out_ref, buf, sem,
-    *, chunk, tile, ntx, nty, pixels, wire8=False,
+    *, chunk, tile, ntx, nty, pixels, wire8=False, nblocks=1,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -426,8 +447,76 @@ def _fwd_kernel(
     def _():
         dma(0, 0).start()
 
+    if nblocks == 1:
+        def body(carry):
+            i, tcur, _ = carry
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < nchunks)
+            def _():
+                dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+            dma(i, slot).wait()
+            d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS | WIRE_COLS]
+            cols = _decode_cols(d, wire8)
+            base = c0 + i * chunk
+            alpha, _ = _alpha_terms(
+                cols, px, py, start - base, end - base, chunk
+            )
+            om = 1.0 - alpha
+            # Transmittance before each pair = running T x exclusive prefix
+            # product of (1 - alpha) — the forward recurrence itself, no
+            # log/exp round trip (products of values <= 1 cannot overflow).
+            pexcl = _prefix_prod(om, alpha, exclusive=True)
+            w = alpha * tcur * pexcl  # [chunk, P]
+            rgbd = cols["rgbd"]  # [chunk, 4] r,g,b,depth
+            contrib = jax.lax.dot_general(
+                rgbd, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [4, P]
+            out_ref[0, ROW_R : ROW_B + 1, :] += contrib[0:3]
+            out_ref[0, ROW_DEPTH, :] += contrib[3]
+            tnew = tcur * (pexcl[chunk - 1 :] * om[chunk - 1 :])
+            alive = jnp.max(tnew) > TERM_EPS
+            return i + 1, tnew, alive
+
+        def cond(carry):
+            i, _, alive = carry
+            return (i < nchunks) & alive
+
+        tinit = jnp.ones((1, pixels), jnp.float32)
+        i_end, tfin, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), tinit, jnp.bool_(True))
+        )
+
+        # Early termination leaves the prefetched next chunk's DMA in
+        # flight; drain it so the semaphore is clean for the next grid step.
+        @pl.when(i_end < nchunks)
+        def _():
+            dma(i_end, jax.lax.rem(i_end, 2)).wait()
+
+        out_ref[0, ROW_ACC, :] = 1.0 - tfin[0]
+        out_ref[0, ROW_T, :] = tfin[0]
+        out_ref[0, ROW_NPROC, :] = jnp.full(
+            (pixels,), 1.0, jnp.float32
+        ) * i_end.astype(jnp.float32)
+        return
+
+    # --- Per-pixel-block termination (GS_PBLOCK > 1) ---------------------
+    # The whole-tile loop terminates only when EVERY pixel saturates; deep
+    # tiles keep compositing full [chunk, P] blocks for a handful of
+    # stragglers. Splitting the tile's pixels into ``nblocks`` lane bands
+    # with per-band termination skips the compute of saturated bands (the
+    # CUDA rasterizer's per-pixel early exit, at vector-friendly
+    # granularity). Chunk DMA/decode stay shared; the running T row lives
+    # in out_ref[ROW_T] so each band's compositing is a predicated region
+    # (carries cannot be updated under pl.when). ROW_NPROC holds each
+    # band's processed-chunk count (the backward replays per band).
+    pb = pixels // nblocks
+    out_ref[0, ROW_T, :] = jnp.ones((pixels,), jnp.float32)
+
     def body(carry):
-        i, tcur, _ = carry
+        i, _ = carry
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < nchunks)
@@ -438,50 +527,54 @@ def _fwd_kernel(
         d = jnp.transpose(buf[slot])  # [chunk, PACK_COLS | WIRE_COLS]
         cols = _decode_cols(d, wire8)
         base = c0 + i * chunk
-        alpha, _ = _alpha_terms(cols, px, py, start - base, end - base, chunk)
-        om = 1.0 - alpha
-        # Transmittance before each pair = running T x exclusive prefix
-        # product of (1 - alpha) — the forward recurrence itself, no
-        # log/exp round trip (products of values <= 1 cannot overflow).
-        pexcl = _prefix_prod(om, alpha, exclusive=True)
-        w = alpha * tcur * pexcl  # [chunk, P]
-        rgbd = cols["rgbd"]  # [chunk, 4] r,g,b,depth
-        contrib = jax.lax.dot_general(
-            rgbd, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [4, P]
-        out_ref[0, ROW_R : ROW_B + 1, :] += contrib[0:3]
-        out_ref[0, ROW_DEPTH, :] += contrib[3]
-        tnew = tcur * (pexcl[chunk - 1 :] * om[chunk - 1 :])
-        alive = jnp.max(tnew) > TERM_EPS
-        return i + 1, tnew, alive
+        rgbd = cols["rgbd"]  # [chunk, 4]
+        for b in range(nblocks):
+            lo, hi = b * pb, (b + 1) * pb
+            tb = out_ref[0, ROW_T : ROW_T + 1, lo:hi]  # [1, pb]
+
+            @pl.when(jnp.max(tb) > TERM_EPS)
+            def _():
+                alpha, _ = _alpha_terms(
+                    cols, px[:, lo:hi], py[:, lo:hi],
+                    start - base, end - base, chunk,
+                )
+                om = 1.0 - alpha
+                pexcl = _prefix_prod(om, alpha, exclusive=True)
+                w = alpha * tb * pexcl  # [chunk, pb]
+                contrib = jax.lax.dot_general(
+                    rgbd, w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [4, pb]
+                out_ref[0, ROW_R : ROW_B + 1, lo:hi] += contrib[0:3]
+                out_ref[0, ROW_DEPTH, lo:hi] += contrib[3]
+                out_ref[0, ROW_T : ROW_T + 1, lo:hi] = tb * (
+                    pexcl[chunk - 1 :] * om[chunk - 1 :]
+                )
+                out_ref[0, ROW_NPROC, lo:hi] = jnp.full(
+                    (pb,), 1.0, jnp.float32
+                ) * (i + 1).astype(jnp.float32)
+
+        alive = jnp.max(out_ref[0, ROW_T, :]) > TERM_EPS
+        return i + 1, alive
 
     def cond(carry):
-        i, _, alive = carry
+        i, alive = carry
         return (i < nchunks) & alive
 
-    tinit = jnp.ones((1, pixels), jnp.float32)
-    i_end, tfin, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tinit, jnp.bool_(True))
-    )
+    i_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
 
-    # Early termination leaves the prefetched next chunk's DMA in flight;
-    # drain it so the semaphore is clean for the next grid step.
     @pl.when(i_end < nchunks)
     def _():
         dma(i_end, jax.lax.rem(i_end, 2)).wait()
 
-    out_ref[0, ROW_ACC, :] = 1.0 - tfin[0]
-    out_ref[0, ROW_T, :] = tfin[0]
-    out_ref[0, ROW_NPROC, :] = jnp.full((pixels,), 1.0, jnp.float32) * i_end.astype(
-        jnp.float32
-    )
+    tfin = out_ref[0, ROW_T, :]
+    out_ref[0, ROW_ACC, :] = 1.0 - tfin
 
 
 def _bwd_kernel(
     starts_ref, ostarts_ref, packed_ref, fwdout_ref, gout_ref, dpairs_ref,
-    buf, gbuf, sem, osem,
-    *, chunk, tile, ntx, nty, pixels, wire8=False,
+    buf, gbuf, sem, osem, *scratch,
+    chunk, tile, ntx, nty, pixels, wire8=False, nblocks=1,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -538,8 +631,17 @@ def _bwd_kernel(
     r_tot = jnp.sum(g_rgbd * out_rgbd, axis=0, keepdims=True)  # [1, P]
     # Chunks the forward never composited (early termination at T < eps)
     # have EXACTLY zero gradient w.r.t. the forward as computed — skip their
-    # compute entirely and only zero-fill their record slots below.
-    nproc = fwdout_ref[0, ROW_NPROC, 0].astype(jnp.int32)
+    # compute entirely and only zero-fill their record slots below. With
+    # pixel-band termination (nblocks > 1) ROW_NPROC holds per-band counts;
+    # the zero-fill boundary is the max and each band replays its own.
+    pbsz = pixels // nblocks
+    nproc_b = [
+        fwdout_ref[0, ROW_NPROC, b * pbsz].astype(jnp.int32)
+        for b in range(nblocks)
+    ]
+    nproc = nproc_b[0]
+    for _np_b in nproc_b[1:]:
+        nproc = jnp.maximum(nproc, _np_b)
 
     def rdma(j, slot):
         off = pl.multiple_of(c0 + j * chunk, chunk)
@@ -609,6 +711,146 @@ def _bwd_kernel(
     @pl.when(nchunks - nproc >= 1)
     def _():
         wdma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
+
+    if nblocks > 1:
+        # Pixel-band replay (GS_PBLOCK > 1): each band traverses exactly
+        # the chunks its forward composited (per-band ROW_NPROC), predicated
+        # as side-effect regions. Band state (running T, suffix carry) lives
+        # in the ``st`` scratch because carries cannot be written under
+        # pl.when; per-chunk gradient columns accumulate across live bands
+        # in ``gacc`` and are tagged/written once per chunk.
+        st, gacc = scratch
+        st[0:2, :] = jnp.concatenate(
+            [jnp.ones((1, pixels), jnp.float32), r_tot - gt], axis=0
+        )
+
+        @pl.when(nproc > 0)
+        def _():
+            rdma(0, 0).start()
+
+        rows_k = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+        def bbody(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < nproc)
+            def _():
+                rdma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+            rdma(i, slot).wait()
+            d = jnp.transpose(buf[slot])
+            dc = _decode_cols(d, wire8)
+            base = c0 + i * chunk
+            rgbd = dc["rgbd"]  # [chunk, 4]
+            gacc[:, :] = jnp.zeros((chunk, PACK_COLS), jnp.float32)
+            for b in range(nblocks):
+                lo_px, hi_px = b * pbsz, (b + 1) * pbsz
+
+                @pl.when(i < nproc_b[b])
+                def _():
+                    tcur = st[0:1, lo_px:hi_px]
+                    rrem = st[1:2, lo_px:hi_px]
+                    alpha, aux = _alpha_terms(
+                        dc, px[:, lo_px:hi_px], py[:, lo_px:hi_px],
+                        start - base, end - base, chunk,
+                    )
+                    om = 1.0 - alpha
+                    inv1m = 1.0 / om
+                    pexcl = _prefix_prod(om, alpha, exclusive=True)
+                    tk = tcur * pexcl
+                    w = alpha * tk
+                    gr = g_rgbd[:, lo_px:hi_px]  # [4, pb]
+                    q = jax.lax.dot_general(
+                        rgbd, gr, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [chunk, pb]
+                    u = q * w
+                    usum = jnp.sum(u, axis=0, keepdims=True)
+                    rnext = rrem - usum
+                    r_in = (
+                        _prefix_scan(u, reverse=True, exclusive=True) + rnext
+                    )
+                    dalpha = q * tk - r_in * inv1m
+                    dcols = jax.lax.dot_general(
+                        w, gr, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [chunk, 4]
+                    live = aux["unclamped"]
+                    if _moment_mode() != "off":
+                        m = jnp.where(live, dalpha * alpha, 0.0)
+                        prec = (
+                            jax.lax.Precision.HIGHEST
+                            if _moment_mode() == "hi"
+                            else jax.lax.Precision.DEFAULT
+                        )
+                        S = jax.lax.dot_general(
+                            m, basis[:, lo_px:hi_px],
+                            (((1,), (1,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=jnp.float32,
+                        )  # [chunk, 6]
+                        s0 = S[:, 0:1]
+                        s1x, s1y = S[:, 1:2], S[:, 2:3]
+                        s2x, s2y, sxy = S[:, 3:4], S[:, 4:5], S[:, 5:6]
+                        ux = dc["mx"] - tcx
+                        uy = dc["my"] - tcy
+                        dopa = s0 / aux["opa"]
+                        sx = -(s1x - ux * s0)
+                        sy = -(s1y - uy * s0)
+                        dca = -(s2x - 2.0 * ux * s1x + ux * ux * s0)
+                        dcc = -(s2y - 2.0 * uy * s1y + uy * uy * s0)
+                        dcb = -(sxy - ux * s1y - uy * s1x + ux * uy * s0)
+                    else:
+                        de = dalpha * jnp.where(live, aux["e"], 0.0)
+                        dopa = jnp.sum(de, axis=1, keepdims=True)
+                        dsig = de * (-aux["opa"])
+                        dx, dy = aux["dx"], aux["dy"]
+                        dsx = dsig * dx
+                        dsy = dsig * dy
+                        dca = jnp.sum(dsx * dx, axis=1, keepdims=True)
+                        dcb = jnp.sum(dsx * dy, axis=1, keepdims=True)
+                        dcc = jnp.sum(dsy * dy, axis=1, keepdims=True)
+                        sx = jnp.sum(dsx, axis=1, keepdims=True)
+                        sy = jnp.sum(dsy, axis=1, keepdims=True)
+                    dmx = -(2.0 * aux["ca"] * sx + aux["cb"] * sy)
+                    dmy = -(2.0 * aux["cc"] * sy + aux["cb"] * sx)
+                    gacc[:, 0:10] += jnp.concatenate(
+                        [dmx, dmy, dca, dcb, dcc, dopa, dcols], axis=1
+                    )
+                    st[0:1, lo_px:hi_px] = tcur * (
+                        pexcl[chunk - 1 :] * om[chunk - 1 :]
+                    )
+                    st[1:2, lo_px:hi_px] = rnext
+
+            inrange = (
+                (rows_k >= start - base) & (rows_k < end - base)
+            ).astype(jnp.float32)
+            parts = [gacc[:, 0:10], dc["gidf"], inrange]
+            if PACK_COLS > 12:
+                parts.append(
+                    jnp.zeros((chunk, PACK_COLS - 12), jnp.float32)
+                )
+            grec = jnp.concatenate(parts, axis=1)
+
+            @pl.when(i >= 2)
+            def _():
+                wdma(i - 2, slot).wait()
+
+            gbuf[slot] = jnp.transpose(grec)
+            wdma(i, slot).start()
+            return 0
+
+        jax.lax.fori_loop(0, nproc, bbody, 0)
+
+        @pl.when(nproc >= 2)
+        def _():
+            wdma(nproc - 2, jax.lax.rem(nproc - 2, 2)).wait()
+
+        @pl.when(nproc >= 1)
+        def _():
+            wdma(nproc - 1, jax.lax.rem(nproc - 1, 2)).wait()
+
+        return
 
     # Front-to-back traversal over the PROCESSED chunks only (same
     # direction as the forward); reads double-buffered, writes overlapped.
@@ -780,7 +1022,7 @@ def _composite_fwd_call(
     )
     kernel = functools.partial(
         _fwd_kernel, chunk=chunk, tile=tile, ntx=ntx, nty=nty, pixels=pixels,
-        wire8=wire8,
+        wire8=wire8, nblocks=_pblock(pixels),
     )
     return pl.pallas_call(
         kernel,
@@ -818,11 +1060,21 @@ def _composite_bwd_call(
             pltpu.VMEM((2, PACK_COLS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+        + (
+            # Pixel-band replay state (running T + suffix carry rows) and
+            # the per-chunk cross-band gradient-column accumulator.
+            [
+                pltpu.VMEM((8, pixels), jnp.float32),
+                pltpu.VMEM((chunk, PACK_COLS), jnp.float32),
+            ]
+            if _pblock(pixels) > 1
+            else []
+        ),
     )
     kernel = functools.partial(
         _bwd_kernel, chunk=chunk, tile=tile, ntx=ntx, nty=nty, pixels=pixels,
-        wire8=wire8,
+        wire8=wire8, nblocks=_pblock(pixels),
     )
     return pl.pallas_call(
         kernel,

@@ -61,7 +61,7 @@ def rasterize(
     pixel_chunk: int = 4096,
     reorder_table: bool = False,
     sort_bf16: bool = False,
-    wire8: Optional[bool] = None,  # None = env GS_WIRE (default 16-col f32)
+    wire8: Optional[bool] = None,  # None = env GS_WIRE (default 8-col)
     sh_mask: Optional[jnp.ndarray] = None,  # [num_bases] 0/1 schedule mask
 ):
     """Render gaussians. Returns (render [C,H,W,3|4], alpha [C,H,W,1], info).
@@ -135,7 +135,7 @@ def rasterize(
         )
         num_tiles = num_cams * binning.num_tiles_x * binning.num_tiles_y
         if wire8 is None:
-            wire8 = _os.environ.get("GS_WIRE", "16") == "8"
+            wire8 = _os.environ.get("GS_WIRE", "8") == "8"
         want_absgrad = pair_dummy is not None
         if pair_dummy is None:
             # Zeros tap required by render_tiles' VJP contract; XLA folds

@@ -195,7 +195,9 @@ def make_sharded_train_step(
                 num_tiles, binning.num_tiles_x, binning.num_tiles_y,
                 cfg.tile_size, cfg.chunk_size, want_depth, use_absgrad,
                 getattr(cfg, "sort_bf16", False),
-                _os.environ.get("GS_WIRE", "16") == "8",
+                getattr(cfg, "wire8", None)
+                if getattr(cfg, "wire8", None) is not None
+                else _os.environ.get("GS_WIRE", "8") == "8",
             )
             color, alpha, depth_acc = unpack_tiles(
                 out, c_local, binning.num_tiles_x, binning.num_tiles_y,
@@ -536,7 +538,9 @@ def make_band_sharded_train_step(
                 num_tiles, binning.num_tiles_x, binning.num_tiles_y,
                 cfg.tile_size, cfg.chunk_size, want_depth, use_absgrad,
                 getattr(cfg, "sort_bf16", False),
-                _os.environ.get("GS_WIRE", "16") == "8",
+                getattr(cfg, "wire8", None)
+                if getattr(cfg, "wire8", None) is not None
+                else _os.environ.get("GS_WIRE", "8") == "8",
             )
             color, alpha, depth_acc = unpack_tiles(
                 out, c, binning.num_tiles_x, binning.num_tiles_y,

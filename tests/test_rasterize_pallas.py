@@ -680,3 +680,89 @@ def test_reduce_records_garbage_tail_robust(rng):
             red[:, :9] / scale, expected / scale, atol=tol,
             err_msg=f"sort_bf16={sort_bf16}",
         )
+
+
+@pytest.mark.parametrize("nb", [2, 4])
+def test_pblock_matches(rng, monkeypatch, nb):
+    """GS_PBLOCK pixel-band termination must agree with the whole-tile
+    path: identical math per band, only the termination granularity is
+    finer (saturated bands stop earlier — differences are bounded by the
+    TERM_EPS tail the whole-tile path still composites)."""
+    means, quats, scales, opac, colors, viewmats, Ks = _scene(rng, n=64)
+    target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)), jnp.float32)
+
+    def loss(params):
+        m, q, s, o, c = params
+        render, alpha, _ = rasterize(
+            m, q, s, o, c, viewmats, Ks, W, H, impl="pallas",
+            pair_capacity=8192,
+        )
+        return jnp.mean((render - target) ** 2) + 0.1 * jnp.mean(alpha)
+
+    params = (means, quats, scales, opac, colors)
+    jax.clear_caches()
+    l0, g0 = jax.value_and_grad(loss)(params)
+    l0, g0 = float(l0), jax.tree.map(np.asarray, g0)
+    monkeypatch.setenv("GS_PBLOCK", str(nb))
+    jax.clear_caches()
+    l1, g1 = jax.value_and_grad(loss)(params)
+    monkeypatch.delenv("GS_PBLOCK")
+    jax.clear_caches()
+    np.testing.assert_allclose(float(l1), l0, rtol=1e-4)
+    for name, a, b in zip(["means", "quats", "scales", "opac", "colors"], g0, g1):
+        b = np.asarray(b)
+        assert np.isfinite(b).all(), name
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=5e-3, err_msg=name)
+
+
+def test_pblock_deep_stack_termination(rng, monkeypatch):
+    """Pixel-band replay under real early termination: deep near-opaque
+    stacks saturate bands at different chunk depths; per-band nproc must
+    keep gradients matched to the oracle and far-behind pairs at zero."""
+    n = 160
+    means = np.zeros((n, 3), np.float32)
+    means[:, 0] = rng.uniform(-0.6, 0.6, n)
+    means[:, 1] = rng.uniform(-0.5, 0.5, n)
+    means[:, 2] = np.linspace(1.5, 6.0, n)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    scales = np.full((n, 3), 0.35, np.float32)
+    opac = np.full((n,), 0.93, np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    viewmats = jnp.eye(4, dtype=jnp.float32)[None]
+    Ks = jnp.asarray(
+        [[[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]]], jnp.float32
+    )
+    target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)), jnp.float32)
+
+    def loss(impl, params):
+        m, o, c = params
+        render, alpha, _ = rasterize(
+            jnp.asarray(m), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(o), jnp.asarray(c), viewmats, Ks, W, H,
+            impl=impl, pair_capacity=8192, chunk_size=128, tile_size=16,
+        )
+        return jnp.mean((render - target) ** 2)
+
+    params = (means, opac, colors)
+    jax.clear_caches()
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss("xla", p))(params)
+    monkeypatch.setenv("GS_PBLOCK", "2")  # tile 16 -> 256 px -> 2 bands max
+    jax.clear_caches()
+    l_pal, g_pal = jax.value_and_grad(lambda p: loss("pallas", p))(params)
+    monkeypatch.delenv("GS_PBLOCK")
+    jax.clear_caches()
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-3)
+    for name, gr, gp in zip(["means", "opac", "colors"], g_ref, g_pal):
+        gp = np.asarray(gp)
+        assert np.isfinite(gp).all(), name
+        scale = np.abs(np.asarray(gr)).max() + 1e-8
+        # 1.2e-2 (vs the whole-tile test's 5e-3): bands cut off a chunk
+        # earlier than the whole-tile loop for pairs whose band saturated
+        # first, so straggler pairs at a band boundary carry one extra
+        # oracle-composited tail term.
+        np.testing.assert_allclose(
+            gp / scale, np.asarray(gr) / scale, atol=1.2e-2, err_msg=name
+        )
+    gc_pal = np.asarray(g_pal[2])
+    assert np.abs(gc_pal[-8:]).max() < 1e-5
